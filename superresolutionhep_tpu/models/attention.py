@@ -1,0 +1,143 @@
+"""Masked multi-head attention over padded variable-length sets.
+
+Capability mirror of the reference MultiheadAttention /
+ScaledDotProductAttention (models/attention.py:12-265): self/cross attention,
+padding + adjacency masking, optional per-edge additive bias ``E`` and sigmoid
+gate ``G`` derived from edge features, optional edge updates from raw scores,
+optional output projection, dropout applied to scores *pre*-softmax (the
+reference's quirk, models/attention.py:257).
+
+TPU-first differences:
+  * mask convention: True == valid (see ops/masked.py)
+  * the hot path (no edges / bias / score return) can dispatch to a Pallas
+    blockwise flash-attention kernel (`impl='flash'`); otherwise a fused-by-XLA
+    einsum path is used.  Both consume the same parameters.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.masked import masked_softmax, merge_masks
+from .dense import xavier_uniform
+
+
+def _can_use_flash(edges, attn_bias, attn_valid, update_edges, dropout) -> bool:
+    return (
+        edges is None
+        and attn_bias is None
+        and attn_valid is None
+        and not update_edges
+        and dropout == 0.0
+    )
+
+
+class MultiheadAttention(nn.Module):
+    embed_dim: int
+    num_heads: int
+    edge_embed_dim: int = 0
+    q_dim: Optional[int] = None
+    out_proj: bool = True
+    update_edges: bool = False
+    dropout: float = 0.0
+    dtype: Any = None
+    impl: str = "auto"  # 'xla' | 'flash' | 'auto'
+
+    def setup(self):
+        if self.embed_dim % self.num_heads:
+            raise ValueError(f"embed_dim {self.embed_dim} not divisible by {self.num_heads} heads")
+        if self.edge_embed_dim % max(self.num_heads, 1):
+            raise ValueError("edge_embed_dim must be divisible by num_heads")
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, kernel_init=xavier_uniform, dtype=self.dtype, name=name
+        )
+        self.linear_q = dense(self.embed_dim, "linear_q")
+        self.linear_k = dense(self.embed_dim, "linear_k")
+        self.linear_v = dense(self.embed_dim, "linear_v")
+        if self.edge_embed_dim > 0:
+            self.linear_e = dense(self.num_heads, "linear_e")
+            self.linear_g = dense(self.num_heads, "linear_g")
+            if self.update_edges:
+                self.linear_e_out = dense(self.edge_embed_dim, "linear_e_out")
+        if self.out_proj:
+            self.linear_out = dense(self.q_dim or self.embed_dim, "linear_out")
+
+    def __call__(
+        self,
+        q,
+        k=None,
+        v=None,
+        edges=None,
+        q_valid=None,
+        kv_valid=None,
+        attn_valid=None,
+        attn_bias=None,
+        deterministic: bool = True,
+    ):
+        """q/k/v: (B, L, F). Masks are True==valid. Returns (B, Lq, q_dim or
+        embed_dim); with ``edges`` given, returns (out, edge_out)."""
+        if k is None:
+            k = q
+            if kv_valid is None:
+                kv_valid = q_valid
+        if v is None:
+            v = k
+
+        B, Lq, _ = q.shape
+        Lk = k.shape[1]
+        H, HD = self.num_heads, self.embed_dim // self.num_heads
+        scale = math.sqrt(HD)
+
+        q_p = self.linear_q(q).reshape(B, Lq, H, HD)
+        k_p = self.linear_k(k).reshape(B, Lk, H, HD)
+        v_p = self.linear_v(v).reshape(B, Lk, H, HD)
+
+        # Edge features -> additive bias E and sigmoid gate G (attention.py:188-203)
+        if edges is not None:
+            e = self.linear_e(edges)  # (B, Lq, Lk, H)
+            attn_bias = e if attn_bias is None else attn_bias + e
+            g = nn.sigmoid(self.linear_g(edges))  # (B, Lq, Lk, H)
+
+        use_flash = self.impl != "xla" and _can_use_flash(
+            edges, attn_bias, attn_valid, self.update_edges, self.dropout
+        )
+        if use_flash and (self.impl == "flash" or jax.default_backend() == "tpu"):
+            from ..ops.flash_attention import masked_flash_attention
+
+            out = masked_flash_attention(q_p, k_p, v_p, q_valid, kv_valid, scale=1.0 / scale)
+            out = out.reshape(B, Lq, self.embed_dim)
+            if self.out_proj:
+                out = self.linear_out(out)
+            return out
+
+        mask = merge_masks(q_valid, kv_valid, attn_valid, Lq, Lk)  # (B, Lq, Lk) or None
+
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q_p, k_p) / scale
+        if attn_bias is not None:  # (B, Lq, Lk, H) -> (B, H, Lq, Lk)
+            scores = scores + jnp.transpose(attn_bias, (0, 3, 1, 2))
+
+        # dropout on raw scores pre-softmax — the reference's behaviour
+        # (models/attention.py:257); all shipped configs use dropout 0.
+        if self.dropout > 0.0 and not deterministic:
+            scores = nn.Dropout(self.dropout, deterministic=False, name="score_dropout")(scores)
+
+        weights = masked_softmax(scores, mask[:, None] if mask is not None else None, axis=-1)
+
+        if edges is not None:
+            weights = weights * jnp.transpose(g, (0, 3, 1, 2))
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_p).reshape(B, Lq, self.embed_dim)
+        if self.out_proj:
+            out = self.linear_out(out)
+
+        if edges is not None:
+            edge_out = None
+            if self.update_edges:
+                edge_out = self.linear_e_out(jnp.transpose(scores, (0, 2, 3, 1)))
+            return out, edge_out
+        return out

@@ -1,0 +1,115 @@
+"""Diffusion Transformer (DiT) layers with adaLN conditioning.
+
+Capability mirror of models/diffusion_transformer.py:8-87: per-layer context ->
+SiLU -> Linear -> 6-way (shift/scale/gate for MSA and MLP) modulation; gated
+residual attention and FFN; cross-attention variant applies the modulation to
+the *keys* (diffusion_transformer.py:42-45).  This is the production
+transformer for both pipeline stages (``transformer.type: 'DiT'`` in all
+shipped configs).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .attention import MultiheadAttention
+from .dense import Dense, LN_EPS, xavier_uniform
+
+
+def modulate(x, shift, scale):
+    """x: (B, L, F); shift/scale: (B, F) (diffusion_transformer.py:8-9)."""
+    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+
+
+class DiTLayer(nn.Module):
+    embed_dim: int
+    num_heads: int
+    dense_config: Optional[dict] = None
+    dtype: Any = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(
+        self,
+        q,
+        q_valid=None,
+        k=None,
+        kv_valid=None,
+        context=None,
+        attn_valid=None,
+        attn_bias=None,
+        deterministic: bool = True,
+    ):
+        mod = nn.Dense(
+            6 * self.embed_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="adaLN_modulation"
+        )(nn.silu(context))
+        (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
+
+        norm1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")
+        mha = MultiheadAttention(
+            embed_dim=self.embed_dim,
+            num_heads=self.num_heads,
+            dtype=self.dtype,
+            impl=self.attn_impl,
+            name="mha",
+        )
+        if k is None:  # self-attention: modulate the tokens themselves
+            q_attn = mha(
+                q=modulate(norm1(q), shift_msa, scale_msa),
+                q_valid=q_valid,
+                attn_valid=attn_valid,
+                attn_bias=attn_bias,
+                deterministic=deterministic,
+            )
+        else:  # cross-attention: modulation applied to the keys (dit ref :42-45)
+            q_attn = mha(
+                q=q,
+                k=modulate(norm1(k), shift_msa, scale_msa),
+                q_valid=q_valid,
+                kv_valid=kv_valid,
+                attn_valid=attn_valid,
+                attn_bias=attn_bias,
+                deterministic=deterministic,
+            )
+        q = q + gate_msa[:, None, :] * q_attn
+
+        if self.dense_config is not None:
+            dense = Dense.from_config(
+                dict(self.dense_config, output_size=self.embed_dim), dtype=self.dtype, name="dense"
+            )
+            q_mlp = dense(
+                modulate(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(q), shift_mlp, scale_mlp),
+                context=context,
+                deterministic=deterministic,
+            )
+            q = q + gate_mlp[:, None, :] * q_mlp
+        return q
+
+
+class DiTEncoder(nn.Module):
+    embed_dim: int
+    num_layers: int
+    num_heads: int
+    dense_config: Optional[dict] = None
+    out_dim: int = 0
+    dtype: Any = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, q, **kwargs):
+        for i in range(self.num_layers):
+            q = DiTLayer(
+                embed_dim=self.embed_dim,
+                num_heads=self.num_heads,
+                dense_config=self.dense_config,
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name=f"layers_{i}",
+            )(q, **kwargs)
+        q = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(q)
+        if self.out_dim:
+            q = nn.Dense(self.out_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="final_linear")(q)
+        return q

@@ -1,0 +1,123 @@
+"""Conditional flow-matching super-resolution denoiser (stage 1).
+
+Capability mirror of the reference FlowModel (models/flow_model.py:23-264):
+embeds cell geometry (eta/cosphi/sinphi), calorimeter layer, proxy energy and
+the noisy per-cell state, each conditioned on the timestep embedding; pools a
+masked-mean global conditioning vector; runs a DiT (or Normformer) stack over
+the cell set; skip-concatenates the conditional features; optional final adaLN
+modulation; and predicts a per-cell scalar velocity.
+
+Config layout is identical to the reference ``flow_model`` YAML block
+(configs/single_e/model_and_var.yml:6-96) so shipped configs load unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.masked import masked_mean
+from .dense import Dense, LN_EPS, xavier_uniform
+from .dit import DiTEncoder, modulate
+from .embed import TimestepEmbedder
+from .transformer import TransformerEncoder
+
+N_CALO_LAYERS = 3  # ECAL layers kept after the layer<3 cut (dataset.py:278-283)
+
+
+class FlowModel(nn.Module):
+    config: dict  # the `flow_model` config block
+    dtype: Any = None
+    attn_impl: str = "auto"
+
+    @nn.compact
+    def __call__(self, batch, noisy_input, time_step, deterministic: bool = True):
+        """batch: dict with (B,N,1) float features ``eta,cosphi,sinphi,e_proxy``,
+        (B,N,1) int ``layer`` and (B,N) bool ``q_mask`` (True==valid).
+        noisy_input: (B,N,1); time_step: (B,). Returns v_t (B,N,1)."""
+        cfg = self.config
+        context_size = cfg["time_embedding_size"]  # flow_model.py:42
+
+        time_emb = TimestepEmbedder(context_size, dtype=self.dtype, name="time_step_embedder")(time_step)
+
+        eta, cosphi, sinphi = batch["eta"], batch["cosphi"], batch["sinphi"]
+        layer, e_proxy, q_mask = batch["layer"], batch["e_proxy"], batch["q_mask"]
+
+        # conditional feature embedders, each context-conditioned on time_emb
+        layer_tab = nn.Embed(
+            N_CALO_LAYERS, cfg["layer_emb"]["emb_dim"], dtype=self.dtype, name="layer_emb_table"
+        )(layer.squeeze(-1))
+        layer_emb = Dense.from_config(
+            dict(cfg["layer_emb"]["dense_config"], context_size=context_size),
+            dtype=self.dtype,
+            name="layer_emb_net",
+        )(layer_tab, context=time_emb, deterministic=deterministic)
+
+        etaphi_emb = Dense.from_config(
+            dict(cfg["etaphi_emb"], context_size=context_size), dtype=self.dtype, name="etaphi_emb_net"
+        )(jnp.concatenate([eta, cosphi, sinphi], axis=-1), context=time_emb, deterministic=deterministic)
+
+        e_proxy_emb = Dense.from_config(
+            dict(cfg["e_proxy_emb"], context_size=context_size), dtype=self.dtype, name="proxy_emb_net"
+        )(e_proxy, context=time_emb, deterministic=deterministic)
+
+        cond_feat = jnp.concatenate([etaphi_emb, layer_emb, e_proxy_emb, e_proxy], axis=-1)
+        cond_feat_global = masked_mean(cond_feat, q_mask, axis=1)  # flow_model.py:210-211
+
+        noisy_input_emb = Dense.from_config(
+            dict(cfg["noisy_input_emb"], context_size=context_size),
+            dtype=self.dtype,
+            name="noisy_input_emb_net",
+        )(noisy_input, context=time_emb, deterministic=deterministic)
+
+        # context = [time_emb ‖ pooled conditional features] (flow_model.py:222)
+        context = jnp.concatenate([time_emb, cond_feat_global], axis=-1)
+        context_size_plus = context.shape[-1]
+
+        feat_0 = jnp.concatenate([cond_feat, noisy_input_emb], axis=-1)
+        feat = Dense.from_config(
+            dict(cfg["feat_0_mlp"], context_size=context_size_plus), dtype=self.dtype, name="feat_0_mlp"
+        )(feat_0, context=context, deterministic=deterministic)
+
+        tcfg = cfg["transformer"]
+        if tcfg["type"] == "DiT":
+            feat = DiTEncoder(
+                embed_dim=int(cfg["h_dim"]),
+                num_layers=tcfg["num_transformer_layers"],
+                num_heads=tcfg["num_heads"],
+                dense_config=dict(tcfg["dense_config"]),
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="transformer",
+            )(feat, q_valid=q_mask, context=context, deterministic=deterministic)
+        elif tcfg["type"] == "GPT-2+Normformer":
+            feat = TransformerEncoder(
+                embed_dim=int(cfg["h_dim"]),
+                num_layers=tcfg["num_transformer_layers"],
+                num_heads=tcfg["num_heads"],
+                dense_config=dict(tcfg["dense_config"]),
+                dtype=self.dtype,
+                attn_impl=self.attn_impl,
+                name="transformer",
+            )(feat, valid=q_mask, context=context, deterministic=deterministic)
+        else:
+            raise ValueError(f"unknown transformer type {tcfg['type']!r}")
+
+        # final skip connection with the conditional features (flow_model.py:241)
+        feat = jnp.concatenate([feat, cond_feat], axis=-1)
+
+        if cfg.get("final_modulation", False):
+            mod = nn.Dense(
+                2 * feat.shape[-1], kernel_init=xavier_uniform, dtype=self.dtype, name="v_t_adaLN_modulation"
+            )(nn.silu(context))
+            v_t_shift, v_t_scale = jnp.split(mod, 2, axis=-1)
+            feat = modulate(
+                nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm_v_t")(feat), v_t_shift, v_t_scale
+            )
+
+        v_t = Dense.from_config(
+            dict(cfg["v_t_pred"], context_size=context_size_plus), dtype=self.dtype, name="v_t_pred_net"
+        )(feat, context=context, deterministic=deterministic)
+        return v_t
