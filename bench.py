@@ -1,0 +1,178 @@
+"""Benchmark harness: SR ensemble inference throughput (events/sec/chip).
+
+Production sampler settings from the reference deployment
+(configs/multipart/inference_batch.yml: n_steps=25, n_ensemble=10) over
+multipart-shaped synthetic events (res_factor=4, ~3.9k HR cells/event) run
+through the real pipeline: host preprocessing -> bucketed padded batches ->
+jitted vmapped-ensemble lax.scan sampler with the Pallas masked
+flash-attention kernel.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
+is reported against the recorded value in BASELINE.json "published" when
+present, else null.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_STEPS = 25
+N_ENSEMBLE = 10
+N_EVENTS = 32
+METHOD = "midpoint"
+
+
+def main():
+    import jax
+
+    # persistent compile cache: the axon remote-compile path is slow; cache
+    # compiled programs across bench invocations
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+    import numpy as np
+    import yaml
+
+    from superresolutionhep_tpu.data.bucketing import BucketBatcher
+    from superresolutionhep_tpu.data.sr_dataset import SupResEvents, collate
+    from superresolutionhep_tpu.data.synthetic import GeneratorConfig, write_synthetic_file
+    from superresolutionhep_tpu.flow.sampling import generate_ensemble
+    from superresolutionhep_tpu.models.flow_model import FlowModel
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "configs", "multipart", "model_and_var.yml")) as fp:
+        config_mv = yaml.safe_load(fp)
+
+    bench_dir = os.path.join(repo, "data", "bench")
+    os.makedirs(bench_dir, exist_ok=True)
+    path = os.path.join(bench_dir, f"multipart_{N_EVENTS}.h5")
+    if not os.path.exists(path):
+        write_synthetic_file(
+            path,
+            n_events=N_EVENTS,
+            seed=42,
+            # window 2 at rf=4 yields ~1.2-4.8k HR ECAL cells/event, matching
+            # the real multipart distribution (packer cap 3520, SURVEY §6)
+            config=GeneratorConfig(res_factor=4, max_particles=4, window_lr_cells=2),
+        )
+
+    ds = SupResEvents(path, config_mv)
+    model = FlowModel(config=config_mv["flow_model"])
+
+    # init params once on a small shape
+    db_pad = 256
+    dummy = collate([ds.get_event(0)] if ds.cell_count_high[0] <= db_pad else [None], 4096)
+    dummy = {k: jnp.asarray(v) for k, v in dummy.items() if isinstance(v, np.ndarray) and k != "idx"}
+    params = model.init(
+        jax.random.PRNGKey(0), dummy, dummy["target"], jnp.zeros((dummy["eta"].shape[0],))
+    )
+
+    apply_fn = lambda v, b, x, t: model.apply(v, b, x, t)  # noqa: E731
+
+    def run_batch(batch, key):
+        return generate_ensemble(
+            apply_fn,
+            params,
+            batch,
+            key,
+            n_ensemble=N_ENSEMBLE,
+            n_steps=N_STEPS,
+            method=METHOD,
+            ret_seq=False,
+        )
+
+    jitted = jax.jit(run_batch)
+
+    # coarse quantum: few distinct shapes -> few compilations
+    batcher = BucketBatcher(
+        ds.cell_count_high,
+        quantum=2048,
+        cost_budget=4096 * 4096 * 4,
+        max_batch_size=16,
+        shuffle=False,
+    )
+
+    # prepare host batches once (host prep is timed separately below)
+    t_prep0 = time.time()
+    batches = []
+    for idxs, bucket in batcher:
+        events = [ds.get_event(i) if i >= 0 else None for i in idxs]
+        hb = collate(events, bucket.pad_n)
+        mb = {
+            k: jnp.asarray(v)
+            for k, v in hb.items()
+            if isinstance(v, np.ndarray) and k not in ("idx",)
+        }
+        n_real = int((idxs >= 0).sum())
+        batches.append((mb, n_real))
+    host_prep_s = time.time() - t_prep0
+
+    # warmup/compile per bucket shape
+    key = jax.random.PRNGKey(1)
+    seen_shapes = set()
+    for mb, _ in batches:
+        shape = mb["eta"].shape
+        if shape in seen_shapes:
+            continue
+        seen_shapes.add(shape)
+        tc = time.time()
+        jitted(mb, key).block_until_ready()
+        print(f"compiled {shape}: {time.time()-tc:.1f}s", file=sys.stderr)
+
+    # timed pass
+    t0 = time.time()
+    total_events = 0
+    out = None
+    for i, (mb, n_real) in enumerate(batches):
+        out = jitted(mb, jax.random.fold_in(key, i))
+        total_events += n_real
+    out.block_until_ready()
+    dt = time.time() - t0
+
+    events_per_sec = total_events / dt
+
+    published = {}
+    try:
+        with open(os.path.join(repo, "BASELINE.json")) as fp:
+            published = json.load(fp).get("published", {}) or {}
+    except Exception:
+        pass
+    base = published.get("sr_inference_events_per_sec")
+    vs = (events_per_sec / base) if base else None
+
+    result = {
+        "metric": f"sr_inference_events_per_sec_per_chip_nsteps{N_STEPS}_ens{N_ENSEMBLE}",
+        "value": round(events_per_sec, 3),
+        "unit": "events/s",
+        "vs_baseline": round(vs, 3) if vs else None,
+    }
+    print(json.dumps(result))
+    # extra context on stderr (driver reads stdout's single JSON line)
+    print(
+        json.dumps(
+            {
+                "detail": {
+                    "device": str(jax.devices()[0]),
+                    "n_events": total_events,
+                    "wall_s": round(dt, 3),
+                    "host_prep_s": round(host_prep_s, 3),
+                    "p50_event_latency_ms": round(1000.0 * dt / max(total_events, 1), 2),
+                    "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
+                }
+            }
+        ),
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,116 @@
+"""Length bucketing to a small set of padded shapes.
+
+The reference controls attention memory with a greedy n^2-cost batch packer
+over *dynamic* per-batch max lengths (utility/sampler.py:4-58, threshold e.g.
+``"3520**2 * 6"``).  Dynamic shapes force an XLA recompile per batch, so the
+TPU-native equivalent buckets events into a few fixed pad lengths (multiples
+of ``quantum``, MXU/flash-block friendly) and sizes each bucket's batch so
+``batch * pad_n^2 <= cost_budget`` — the same memory-control semantics with a
+bounded number of compiled programs.
+
+Incomplete final batches are padded with filler slots (index -1 -> fully
+masked rows), keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Bucket:
+    pad_n: int
+    batch_size: int
+
+
+def make_buckets(
+    counts: Sequence[int],
+    quantum: int = 128,
+    cost_budget: int | None = None,
+    max_batch_size: int = 512,
+    min_batch_size: int = 1,
+    batch_multiple_of: int = 1,
+) -> List[Bucket]:
+    """Derive bucket pad sizes covering the observed length distribution.
+
+    ``batch_multiple_of`` rounds batch sizes up to a multiple of the data-mesh
+    size so batches shard evenly across devices.
+    """
+    pad_sizes = sorted({int(np.ceil(n / quantum)) * quantum for n in set(int(c) for c in counts)})
+    if not pad_sizes:
+        pad_sizes = [quantum]
+    buckets = []
+    m = max(1, batch_multiple_of)
+    for pad_n in pad_sizes:
+        if cost_budget is not None:
+            bs = max(min_batch_size, min(max_batch_size, cost_budget // (pad_n * pad_n)))
+        else:
+            bs = max_batch_size
+        bs = int(np.ceil(bs / m)) * m
+        buckets.append(Bucket(pad_n=pad_n, batch_size=int(bs)))
+    return buckets
+
+
+class BucketBatcher:
+    """Assign events to buckets by padded length; iterate fixed-shape batches.
+
+    Yields ``(indices, bucket)`` where ``indices`` is an int array of length
+    ``bucket.batch_size`` with -1 for filler slots.
+    """
+
+    def __init__(
+        self,
+        counts: Sequence[int],
+        quantum: int = 128,
+        cost_budget: int | None = None,
+        max_batch_size: int = 512,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = False,
+        batch_multiple_of: int = 1,
+    ):
+        self.counts = np.asarray(counts, np.int64)
+        self.buckets = make_buckets(
+            self.counts, quantum, cost_budget, max_batch_size, batch_multiple_of=batch_multiple_of
+        )
+        self.quantum = quantum
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._rng = np.random.default_rng(seed)
+
+        pad_sizes = np.array([b.pad_n for b in self.buckets])
+        # smallest bucket that fits each event
+        self.event_bucket = np.searchsorted(pad_sizes, self.counts, side="left")
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, Bucket]]:
+        batches = []
+        for bi, bucket in enumerate(self.buckets):
+            idxs = np.nonzero(self.event_bucket == bi)[0]
+            if self.shuffle:
+                self._rng.shuffle(idxs)
+            for s in range(0, len(idxs), bucket.batch_size):
+                chunk = idxs[s : s + bucket.batch_size]
+                if len(chunk) < bucket.batch_size:
+                    if self.drop_last and len(batches) > 0:
+                        continue
+                    chunk = np.concatenate(
+                        [chunk, np.full(bucket.batch_size - len(chunk), -1, np.int64)]
+                    )
+                batches.append((chunk, bucket))
+        if self.shuffle:
+            order = self._rng.permutation(len(batches))
+            batches = [batches[i] for i in order]
+        yield from batches
+
+    def __len__(self) -> int:
+        n = 0
+        for bi, bucket in enumerate(self.buckets):
+            cnt = int((self.event_bucket == bi).sum())
+            if self.drop_last:
+                n += cnt // bucket.batch_size
+            else:
+                n += int(np.ceil(cnt / bucket.batch_size))
+        return n

@@ -1,0 +1,201 @@
+"""Pallas TPU blockwise masked flash attention.
+
+This is the hot kernel of both pipeline stages: masked self/cross attention
+over padded variable-length cell sets (up to ~3.5k cells/event in the
+multipart dataset).  The reference materialises the full (B,H,L,L) score
+tensor (models/attention.py:250-260); here the online-softmax blockwise
+formulation keeps O(BQ x L) live in VMEM, streams K/V blocks, and never
+writes the score matrix to HBM.
+
+Supported fast path: padding masks only (no adjacency mask / edge bias /
+score dropout) — exactly the configuration every shipped config uses.  The
+general path stays on the XLA einsum implementation (attention.py).
+
+Differentiation: a custom VJP recomputes attention blockwise for the backward
+pass (flash backward), so the kernel is usable in training too.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _pick_block(n: int, preferred: int = 128) -> Optional[int]:
+    """Largest divisor of n that is <= preferred and a multiple of 8."""
+    for b in (preferred, 64, 32, 16, 8):
+        if n % b == 0:
+            return b
+    return None
+
+
+def flash_shapes_ok(Lq: int, Lk: int, d: int) -> bool:
+    return _pick_block(Lq) is not None and _pick_block(Lk) is not None and d % 8 == 0
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, m_scr, l_scr, acc_scr, *, scale):
+    """Grid (B, H, nQ, nK) with nK innermost/sequential; online-softmax carry
+    lives in VMEM scratch across the K-block sweep, so VMEM usage is bounded
+    by the block sizes regardless of sequence length."""
+    j = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0, 0]  # (BQ, D)
+    k = k_ref[0, 0]  # (BK, D)
+    v = v_ref[0, 0]  # (BK, D)
+    km = km_ref[0]  # (BK, 1)
+
+    s = lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+    s = jnp.where(jnp.transpose(km) > 0, s, NEG_INF)
+
+    m_prev = m_scr[:]
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+    acc_new = acc_scr[:] * alpha + lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+    acc_scr[:] = acc_new
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        qm = qm_ref[0]  # (BQ, 1)
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0, 0] = (out * (qm > 0)).astype(o_ref.dtype)
+
+
+def _flash_fwd(q, k, v, qm, km, scale):
+    """q,k,v: (B,H,L,D); qm: (B,Lq,1) float; km: (B,Lk,1) float."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    BQ = _pick_block(Lq)
+    BK = _pick_block(Lk)
+
+    grid = (B, H, Lq // BQ, Lk // BK)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, 1), lambda b, h, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, 1), jnp.float32),
+            pltpu.VMEM((BQ, 1), jnp.float32),
+            pltpu.VMEM((BQ, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Lq * Lk * D,
+            bytes_accessed=4 * (q.size + k.size * (Lq // BQ) + v.size * (Lq // BQ) + q.size),
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=jax.default_backend() != "tpu",
+    )(q, k, v, qm, km)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# custom VJP: einsum-form backward (recompute; O(L^2) flops, fused by XLA)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _flash_attention(q, k, v, qm, km, scale):
+    return _flash_fwd(q, k, v, qm, km, scale)
+
+
+def _ref_attention(q, k, v, qm, km, scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    mask = km[:, None, None, :, 0] > 0
+    s = jnp.where(mask, s, NEG_INF)
+    s = s - s.max(axis=-1, keepdims=True)
+    p = jnp.exp(s)
+    p = p / jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
+    p = jnp.where(mask, p, 0.0)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+    return out * (qm[:, None, :, :] > 0), p
+
+
+def _vjp_fwd(q, k, v, qm, km, scale):
+    return _flash_fwd(q, k, v, qm, km, scale), (q, k, v, qm, km)
+
+
+def _vjp_bwd(scale, res, g):
+    q, k, v, qm, km = res
+    out, p = _ref_attention(q, k, v, qm, km, scale)
+    g = g * (qm[:, None, :, :] > 0)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v)
+    # softmax backward: ds = p * (dp - sum(dp * p))
+    ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
+    return dq, dk, dv, None, None
+
+
+_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float):
+    """q,k,v: (B, L, H, D) with True==valid padding masks (B, L) or None.
+
+    Returns (B, Lq, H, D).  Falls back to the einsum formulation when block
+    constraints don't hold (tiny/odd shapes).
+    """
+    B, Lq, H, D = q.shape
+    Lk = k.shape[1]
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+    qm = (
+        jnp.ones((B, Lq, 1), jnp.float32)
+        if q_valid is None
+        else q_valid.astype(jnp.float32)[..., None]
+    )
+    km = (
+        jnp.ones((B, Lk, 1), jnp.float32)
+        if kv_valid is None
+        else kv_valid.astype(jnp.float32)[..., None]
+    )
+
+    if flash_shapes_ok(Lq, Lk, D):
+        out = _flash_attention(qt, kt, vt, qm, km, scale)
+    else:
+        out, _ = _ref_attention(qt, kt, vt, qm, km, scale)
+    return jnp.transpose(out, (0, 2, 1, 3))

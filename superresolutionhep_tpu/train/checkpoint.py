@@ -1,0 +1,88 @@
+"""Orbax checkpointing with the reference's retention policy.
+
+Mirrors PyTorch-Lightning ModelCheckpoint as configured in train.py:62-70 /
+train_pf.py:54-62: keep the best-3 checkpoints by a monitored metric (min
+mode) plus always the last; embed both configs alongside the weights
+(save_hyperparameters, lightning.py:34); resume support.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        directory: str,
+        monitor: str = "val/loss_raw",
+        max_to_keep: int = 3,
+        mode: str = "min",
+        configs: Optional[dict] = None,
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.monitor = monitor
+
+        def best_fn(metrics):
+            return metrics.get(self.monitor, float("inf"))
+
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=best_fn,
+            best_mode=mode,
+            create=True,
+        )
+        self._best = ocp.CheckpointManager(os.path.join(self.directory, "best"), options=options)
+        self._last = ocp.CheckpointManager(
+            os.path.join(self.directory, "last"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
+        )
+        if configs is not None:
+            with open(os.path.join(self.directory, "configs.json"), "w") as fp:
+                json.dump(configs, fp, indent=2, default=str)
+
+    def save(self, step: int, state: Any, metrics: dict):
+        metrics = {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))}
+        self._best.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
+        self._last.save(step, args=ocp.args.StandardSave(state))
+
+    def wait(self):
+        self._best.wait_until_finished()
+        self._last.wait_until_finished()
+
+    def best_step(self) -> Optional[int]:
+        return self._best.best_step()
+
+    def latest_step(self) -> Optional[int]:
+        return self._last.latest_step()
+
+    def restore(self, state_template: Any, step: Optional[int] = None, which: str = "last") -> Any:
+        mgr = self._last if which == "last" else self._best
+        step = step if step is not None else (
+            mgr.latest_step() if which == "last" else self._best.best_step()
+        )
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint found in {self.directory}")
+        return mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+
+    def close(self):
+        self._best.close()
+        self._last.close()
+
+
+def save_single(path: str, state: Any):
+    """One-shot checkpoint save (for inference export)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_single(path: str, template: Any = None):
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=template)

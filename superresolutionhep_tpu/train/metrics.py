@@ -1,0 +1,65 @@
+"""Metrics / observability sink.
+
+The reference logs scalars and matplotlib images to Comet ML with a local
+``plot_dump/`` fallback (train.py:87-104, lightning.py:271-286).  Here the
+default sink is a local JSONL stream (machine-greppable, survives headless
+runs) plus a plot directory; a Comet adapter slots in when the library is
+available.  jax.profiler hooks are exposed because events/sec/chip is the
+north-star metric (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+
+
+class MetricsLogger:
+    def __init__(self, run_dir: str, use_comet: bool = False, comet_kwargs: Optional[dict] = None):
+        self.run_dir = os.path.abspath(run_dir)
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.plot_dir = os.path.join(self.run_dir, "plot_dump")
+        os.makedirs(self.plot_dir, exist_ok=True)
+        self._fp = open(os.path.join(self.run_dir, "metrics.jsonl"), "a", buffering=1)
+        self._t0 = time.time()
+
+        self.comet = None
+        if use_comet:
+            try:  # pragma: no cover - optional dependency
+                import comet_ml  # type: ignore
+
+                self.comet = comet_ml.Experiment(**(comet_kwargs or {}))
+            except Exception:
+                self.comet = None
+
+    def log_scalars(self, scalars: dict, step: int, prefix: str = ""):
+        rec = {"step": step, "t": round(time.time() - self._t0, 3)}
+        for k, v in scalars.items():
+            key = f"{prefix}{k}"
+            try:
+                rec[key] = float(v)
+            except (TypeError, ValueError):
+                continue
+        self._fp.write(json.dumps(rec) + "\n")
+        if self.comet is not None:  # pragma: no cover
+            self.comet.log_metrics({k: v for k, v in rec.items() if k not in ("step", "t")}, step=step)
+
+    def log_figure(self, fig, name: str):
+        path = os.path.join(self.plot_dir, f"{name}.png")
+        fig.savefig(path)
+        if self.comet is not None:  # pragma: no cover
+            self.comet.log_image(path, name=name)
+        return path
+
+    def start_profile(self):
+        jax.profiler.start_trace(os.path.join(self.run_dir, "profile"))
+
+    def stop_profile(self):
+        jax.profiler.stop_trace()
+
+    def close(self):
+        self._fp.close()

@@ -1,0 +1,294 @@
+"""Stage-1 (super-resolution) training harness.
+
+Capability mirror of SupResLightning + train.py (lightning.py:29-286,
+train.py:26-119): AdamW with warmup-cosine epoch schedule, masked
+flow-matching loss with the reference's per-step stats, full generative
+validation with NN-space and raw-energy MSE, best-3+last checkpointing keyed
+on ``val/loss_raw``, resume, debug mode, metrics sink.
+
+TPU-first design: one jitted train step per bucket shape (static shapes, no
+recompiles within an epoch), batch sharded over the ``data`` mesh axis with
+replicated params (XLA inserts the grad psum — the reference's latent DDP
+made real), donated arguments so params/opt state update in place in HBM.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import resolve_threshold
+from ..data.bucketing import BucketBatcher
+from ..data.sr_dataset import SupResEvents, collate
+from ..flow.cfm import flow_matching_loss, sample_location_and_conditional_flow
+from ..flow.sampling import generate_samples
+from ..models.flow_model import FlowModel
+from ..models.init_policies import apply_init_policies
+from ..parallel.mesh import DATA_AXIS, data_sharding, make_mesh, replicate
+from ..transforms import TargetTransform
+from .checkpoint import CheckpointManager
+from .metrics import MetricsLogger
+from .schedule import schedule_from_config
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    epoch: int = 0
+
+
+def _dummy_batch(pad_n: int = 8, B: int = 2):
+    return {
+        "eta": jnp.zeros((B, pad_n, 1), jnp.float32),
+        "cosphi": jnp.zeros((B, pad_n, 1), jnp.float32),
+        "sinphi": jnp.zeros((B, pad_n, 1), jnp.float32),
+        "layer": jnp.zeros((B, pad_n, 1), jnp.int32),
+        "e_proxy": jnp.zeros((B, pad_n, 1), jnp.float32),
+        "q_mask": jnp.ones((B, pad_n), bool),
+        "target": jnp.zeros((B, pad_n, 1), jnp.float32),
+    }
+
+
+class SRTrainer:
+    def __init__(
+        self,
+        config_mv: dict,
+        config_t: dict,
+        run_dir: str = "runs/sr",
+        seed: int = 0,
+        mesh=None,
+        dtype=None,
+        use_comet: bool = False,
+    ):
+        self.config_mv = config_mv
+        self.config_t = config_t
+        self.run_dir = run_dir
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.dtype = dtype
+
+        fm_cfg = config_mv["flow_model"]
+        self.model = FlowModel(config=fm_cfg, dtype=dtype)
+        self.sigma_min = float(fm_cfg["sigma_min"])
+        self.n_steps = int(fm_cfg["n_steps"])
+        self.target_transform = TargetTransform.from_config(config_mv["target_transform"])
+
+        rng = jax.random.PRNGKey(seed)
+        rng, init_rng, pol_rng = jax.random.split(rng, 3)
+        db = _dummy_batch()
+        variables = self.model.init(init_rng, db, db["target"], jnp.zeros((2,)))
+        params = apply_init_policies(variables["params"], fm_cfg.get("init_weights", {}), pol_rng)
+
+        self.tx = self._make_optimizer()
+        opt_state = self.tx.init(params)
+        self.state = TrainState(params=params, opt_state=opt_state, step=jnp.zeros((), jnp.int32))
+        self.rng = rng
+
+        self.lr_fn = schedule_from_config(config_t)
+        self.metrics = MetricsLogger(run_dir, use_comet=use_comet)
+        self.ckpt: Optional[CheckpointManager] = None
+
+        self._bsh = data_sharding(self.mesh)
+        self._rep = replicate(self.mesh)
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._val_step = jax.jit(self._val_step_impl, static_argnames=("n_steps", "method"))
+
+    # ------------------------------------------------------------------
+    def _make_optimizer(self):
+        # torch AdamW defaults (lightning.py:170): betas (0.9,0.999), eps 1e-8,
+        # weight_decay 0.01; optional global-norm clip (PF uses 1.0)
+        chain = []
+        clip = self.config_t.get("grad_clip_norm")
+        if clip:
+            chain.append(optax.clip_by_global_norm(float(clip)))
+        chain += [
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.add_decayed_weights(float(self.config_t.get("weight_decay", 0.01))),
+            optax.scale(-1.0),
+        ]
+        return optax.chain(*chain)
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, batch, rng):
+        target = batch["target"]
+        t, xt, ut = sample_location_and_conditional_flow(rng, target, self.sigma_min)
+        vt = self.model.apply({"params": params}, batch, xt, t, deterministic=True)
+        return flow_matching_loss(vt, ut, batch["q_mask"])
+
+    def _train_step_impl(self, params, opt_state, batch, rng, lr):
+        (loss, stats), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(params, batch, rng)
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        updates = jax.tree_util.tree_map(lambda u: u * lr, updates)
+        params = optax.apply_updates(params, updates)
+        # finite-loss guard: the reference aborts the run on non-finite loss
+        # (models/flow_model.py:283-285); we surface a flag instead of a sync
+        stats["nonfinite"] = jnp.logical_not(jnp.isfinite(loss)).astype(jnp.float32)
+        stats["loss"] = loss
+        stats["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, stats
+
+    def _val_step_impl(self, params, batch, rng, n_steps: int, method: str):
+        pred = generate_samples(
+            lambda v, b, x, t: self.model.apply(v, b, x, t),
+            {"params": params},
+            batch,
+            rng,
+            n_steps=n_steps,
+            method=method,
+            ret_seq=False,
+        )
+        m = batch["q_mask"][..., None].astype(jnp.float32)
+        n_valid = jnp.maximum(m.sum(), 1.0)
+        se_nn = ((pred - batch["target"]) ** 2 * m).sum()
+
+        e_pred_raw = self.target_transform.inverse(pred, batch["e_proxy_raw"])
+        se_raw = ((e_pred_raw - batch["e_truth_raw"]) ** 2 * m).sum()
+        return {
+            "se_nn": se_nn,
+            "se_raw": se_raw,
+            "n_valid": n_valid,
+            "pred": pred,
+            "e_pred_raw": e_pred_raw,
+        }
+
+    # ------------------------------------------------------------------
+    def _batcher(self, ds: SupResEvents, split: str, seed: int) -> BucketBatcher:
+        ct = self.config_t
+        budget = None
+        if ct.get("use_sampler", False):
+            budget = resolve_threshold(ct.get(f"n_sq_sum_threshold_{split}"))
+        return BucketBatcher(
+            ds.cell_count_high,
+            quantum=int(ct.get("bucket_quantum", 128)),
+            cost_budget=budget,
+            max_batch_size=int(ct.get(f"batch_size_{split}", 32)),
+            shuffle=(split == "train"),
+            seed=seed,
+            batch_multiple_of=len(self.mesh.devices.flat),
+        )
+
+    def _device_batch(self, host_batch: Dict[str, np.ndarray]):
+        out = {}
+        for k, v in host_batch.items():
+            if isinstance(v, np.ndarray) and k not in ("idx",):
+                out[k] = jax.device_put(v, self._bsh)
+        return out
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        train_ds: Optional[SupResEvents] = None,
+        val_ds: Optional[SupResEvents] = None,
+        num_epochs: Optional[int] = None,
+        resume: bool = False,
+    ):
+        ct = self.config_t
+        if train_ds is None:
+            train_ds = SupResEvents(
+                ct["train_path"],
+                self.config_mv,
+                reduce_ds=ct.get("reduce_ds_train", -1),
+                one_event_train=ct.get("one_event_train", False),
+                one_event_idx=ct.get("one_event_idx", 0),
+            )
+        if val_ds is None and ct.get("val_path"):
+            val_ds = SupResEvents(
+                ct["val_path"],
+                self.config_mv,
+                make_low=True,
+                reduce_ds=ct.get("reduce_ds_val", -1),
+                one_event_train=ct.get("one_event_train", False),
+                one_event_idx=ct.get("one_event_idx", 0),
+            )
+
+        self.ckpt = CheckpointManager(
+            os.path.join(self.run_dir, "checkpoints"),
+            monitor="val/loss_raw",
+            configs={"config_mv": self.config_mv, "config_t": self.config_t},
+        )
+        if resume:
+            try:
+                restored = self.ckpt.restore(
+                    {"params": self.state.params, "opt_state": self.state.opt_state}, which="last"
+                )
+                self.state.params = restored["params"]
+                self.state.opt_state = restored["opt_state"]
+                self.state.epoch = (self.ckpt.latest_step() or 0) + 1
+            except FileNotFoundError:
+                pass
+
+        num_epochs = num_epochs or int(ct["num_epochs"])
+        eval_every = int(ct.get("eval_every_n_epoch", 1))
+        train_cache: Dict[int, Any] = {}
+
+        for epoch in range(self.state.epoch, num_epochs):
+            lr = jnp.asarray(self.lr_fn(epoch), jnp.float32)
+            t_ep = time.time()
+            ep_stats, n_batches = {}, 0
+            for idxs, bucket in self._batcher(train_ds, "train", seed=epoch):
+                events = [
+                    (train_cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None)
+                    for i in idxs
+                ]
+                hb = collate(events, bucket.pad_n)
+                batch = self._device_batch(hb)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state.params, self.state.opt_state, stats = self._train_step(
+                    self.state.params, self.state.opt_state, batch, step_rng, lr
+                )
+                n_batches += 1
+                for k, v in stats.items():
+                    ep_stats[k] = ep_stats.get(k, 0.0) + v
+
+            ep_stats = {f"train/{k}": float(v) / max(n_batches, 1) for k, v in ep_stats.items()}
+            ep_stats["lr"] = float(lr)
+            ep_stats["train/epoch_s"] = time.time() - t_ep
+
+            if ep_stats.get("train/nonfinite", 0) > 0:
+                # mirror of the reference's non-finite abort, without killing
+                # the process: stop training and flag loudly
+                self.metrics.log_scalars({"fatal_nonfinite_loss": 1.0}, step=epoch)
+                raise FloatingPointError(f"non-finite training loss at epoch {epoch}")
+
+            if val_ds is not None and (epoch % eval_every == 0 or epoch == num_epochs - 1):
+                ep_stats.update(self.evaluate(val_ds))
+
+            self.metrics.log_scalars(ep_stats, step=epoch)
+            if self.ckpt is not None:
+                self.ckpt.save(
+                    epoch,
+                    {"params": self.state.params, "opt_state": self.state.opt_state},
+                    ep_stats,
+                )
+            self.state.epoch = epoch + 1
+
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return self.state
+
+    # ------------------------------------------------------------------
+    def evaluate(self, val_ds: SupResEvents, n_steps: Optional[int] = None) -> Dict[str, float]:
+        method = self.config_t.get("val_ode_method", "dopri5")
+        n_steps = n_steps or self.n_steps
+        tot_nn = tot_raw = tot_n = 0.0
+        for idxs, bucket in self._batcher(val_ds, "val", seed=0):
+            events = [val_ds.get_event(i) if i >= 0 else None for i in idxs]
+            hb = collate(events, bucket.pad_n, with_low=False)
+            batch = self._device_batch(hb)
+            self.rng, vrng = jax.random.split(self.rng)
+            out = self._val_step(self.state.params, batch, vrng, n_steps=n_steps, method=method)
+            tot_nn += float(out["se_nn"])
+            tot_raw += float(out["se_raw"])
+            tot_n += float(out["n_valid"])
+        n = max(tot_n, 1.0)
+        # node-count-weighted epoch means (lightning.py:240-249)
+        return {"val/loss": tot_nn / n, "val/loss_raw": tot_raw / n}

@@ -1,0 +1,67 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superresolutionhep_tpu.ops.flash_attention import (
+    _ref_attention,
+    flash_shapes_ok,
+    masked_flash_attention,
+)
+
+
+def dense_reference(q, k, v, q_valid, kv_valid, scale):
+    """Straightforward masked softmax attention in (B,L,H,D) layout."""
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    mask = kv_valid[:, None, None, :]
+    s = jnp.where(mask, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    p = jnp.where(mask, p, 0.0)
+    out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+    return out * q_valid[:, :, None, None]
+
+
+@pytest.mark.parametrize("Lq,Lk", [(128, 128), (256, 128), (128, 384)])
+def test_flash_matches_dense(Lq, Lk):
+    B, H, D = 2, 4, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, Lq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Lk, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Lk, H, D)).astype(np.float32))
+    q_valid = jnp.asarray(np.arange(Lq)[None, :] < np.array([[Lq], [Lq // 3]]))
+    kv_valid = jnp.asarray(np.arange(Lk)[None, :] < np.array([[Lk], [Lk // 2]]))
+
+    scale = 1.0 / np.sqrt(D)
+    assert flash_shapes_ok(Lq, Lk, D)
+    out = masked_flash_attention(q, k, v, q_valid, kv_valid, scale)
+    ref = dense_reference(q, k, v, q_valid, kv_valid, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_all_padded_rows_zero():
+    B, L, H, D = 1, 128, 2, 32
+    q = jnp.ones((B, L, H, D))
+    kv_valid = jnp.zeros((B, L), bool)  # no valid keys at all
+    out = masked_flash_attention(q, q, q, jnp.ones((B, L), bool), kv_valid, 0.1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_flash_gradients_match_dense():
+    B, L, H, D = 1, 128, 2, 32
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    valid = jnp.asarray(np.arange(L)[None, :] < 100)
+    scale = 1.0 / np.sqrt(D)
+
+    def f_flash(q, k, v):
+        return (masked_flash_attention(q, k, v, valid, valid, scale) ** 2).sum()
+
+    def f_dense(q, k, v):
+        return (dense_reference(q, k, v, valid, valid, scale) ** 2).sum()
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)

@@ -1,0 +1,115 @@
+import numpy as np
+import pytest
+
+from superresolutionhep_tpu.data.bucketing import BucketBatcher
+from superresolutionhep_tpu.data.sr_dataset import SupResEvents, collate, model_batch
+from superresolutionhep_tpu.data.synthetic import GeneratorConfig, write_synthetic_file
+
+
+@pytest.fixture(scope="module")
+def sr_file(tmp_path_factory):
+    path = tmp_path_factory.mktemp("data") / "train.h5"
+    write_synthetic_file(
+        str(path), n_events=12, seed=7, config=GeneratorConfig(max_particles=3)
+    )
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def config_mv():
+    return {
+        "graph_building": "all2all",
+        "res_factor": 2,
+        "var_transform": {
+            "eta": {"transformation": None, "scale_mode": "min_max", "min": -2.988, "max": 2.988, "range": [-1, 1]},
+            "e": {"transformation": "pow(x,m)", "m": 0.2, "scale_mode": "standard"},
+        },
+        "target_transform": {
+            "transformation": "logit_ratio",
+            "f": 1.2,
+            "alpha": 1.0e-6,
+            "scale_mode": "standard",
+            "mean": -1.1424768,
+            "std": 3.616942,
+        },
+    }
+
+
+def test_event_preprocessing_invariants(sr_file, config_mv):
+    ds = SupResEvents(sr_file, config_mv, make_low=True, make_particles=True)
+    assert len(ds) == 12
+    ev = ds.get_event(0)
+
+    rf2 = 4
+    n_low, n_high = len(ev.low["e_meas_raw"]), len(ev.high["e_truth_raw"])
+    assert n_high == rf2 * n_low
+
+    # proxy of HR cell k == LR cell k//rf2 (reorder semantics, dataset.py:120-127,222-226)
+    np.testing.assert_allclose(
+        ev.high["e_proxy_raw"], np.repeat(ev.low["e_meas_raw"], rf2), rtol=1e-6
+    )
+
+    # ECAL-only after the cut
+    assert ev.high["layer"].max() < 3
+    assert ev.low["layer"].max() < 3
+
+    # per-event conditional scaling: transformed LR energies ~ N(0,1)
+    t = ev.low["e_meas_raw"] ** 0.2
+    # low was cut to ECAL but stats were fitted pre-cut; recompute manually
+    assert "mean" in ev.cond_params and "std" in ev.cond_params
+
+    # target inverse recovers truth (up to the ratio clamp at proxy*f)
+    from superresolutionhep_tpu.transforms import TargetTransform
+
+    tt = TargetTransform.from_config(config_mv["target_transform"])
+    rec = np.asarray(tt.inverse(ev.high["target"], ev.high["e_proxy_raw"]))
+    clipped_truth = np.minimum(ev.high["e_truth_raw"], ev.high["e_proxy_raw"] * 1.2)
+    np.testing.assert_allclose(rec, clipped_truth, rtol=1e-4, atol=1e-6)
+
+    # incidence: HR energy matrix sums over ECAL cells to particle dep_e
+    np.testing.assert_allclose(
+        ev.high_e_part.sum(axis=0), ev.particles["dep_e"], rtol=1e-4
+    )
+    # LR incidence is the rf2-fold sum of HR children
+    np.testing.assert_allclose(
+        ev.low_e_part, ev.high_e_part.reshape(n_low, rf2, -1).sum(1), rtol=1e-5
+    )
+
+
+def test_collate_and_model_batch(sr_file, config_mv):
+    ds = SupResEvents(sr_file, config_mv, make_low=True, make_particles=True)
+    events = [ds.get_event(i) for i in range(4)] + [None]  # one filler slot
+    pad_n = max(len(e.high["eta"]) for e in events[:4])
+    pad_n = int(np.ceil(pad_n / 128)) * 128
+    batch = collate(events, pad_n, with_low=True, pad_n_low=pad_n // 4 + 32)
+
+    assert batch["eta"].shape == (5, pad_n, 1)
+    assert batch["q_mask"].shape == (5, pad_n)
+    assert batch["q_mask"][4].sum() == 0  # filler fully masked
+    for i in range(4):
+        assert batch["q_mask"][i].sum() == len(events[i].high["eta"])
+    # values preserved under padding
+    np.testing.assert_allclose(
+        batch["target"][0, : len(events[0].high["target"]), 0], events[0].high["target"]
+    )
+    mb = model_batch(batch)
+    assert set(mb) == {"eta", "cosphi", "sinphi", "layer", "e_proxy", "q_mask", "target"}
+
+    assert len(batch["particle_pt"]) == 5
+    assert batch["particle_pt"][4].shape == (0,)
+
+
+def test_bucket_batcher_covers_all_events_once():
+    rng = np.random.default_rng(0)
+    counts = rng.integers(10, 700, size=223)
+    bb = BucketBatcher(counts, quantum=128, cost_budget=512 * 512 * 8, shuffle=True, seed=1)
+    seen = []
+    for idxs, bucket in bb:
+        assert bucket.pad_n % 128 == 0
+        real = idxs[idxs >= 0]
+        assert np.all(counts[real] <= bucket.pad_n)
+        # memory-control semantics: batch * pad^2 bounded (single-event floor)
+        assert bucket.batch_size * bucket.pad_n**2 <= 512 * 512 * 8 or bucket.batch_size == 1
+        seen.extend(real.tolist())
+    assert sorted(seen) == list(range(223))
+    assert len(bb) == sum(1 for _ in bb)

@@ -1,0 +1,93 @@
+import numpy as np
+import pytest
+
+from superresolutionhep_tpu.data.sr_dataset import SupResEvents
+from superresolutionhep_tpu.data.synthetic import GeneratorConfig, write_synthetic_file
+from superresolutionhep_tpu.train.schedule import warmup_cosine_epoch_schedule
+from superresolutionhep_tpu.train.sr_trainer import SRTrainer
+
+from test_flow_model import small_flow_config
+
+
+@pytest.fixture(scope="module")
+def paths(tmp_path_factory):
+    d = tmp_path_factory.mktemp("srtrain")
+    gen = GeneratorConfig(single_electron=True, window_lr_cells=1)
+    train = write_synthetic_file(str(d / "train.h5"), n_events=8, seed=1, config=gen)
+    val = write_synthetic_file(str(d / "val.h5"), n_events=4, seed=2, config=gen)
+    return train, val, str(d / "run")
+
+
+def make_configs(train, val, run):
+    config_mv = {
+        "graph_building": "all2all",
+        "res_factor": 2,
+        "flow_model": small_flow_config("DiT"),
+        "var_transform": {
+            "eta": {"transformation": None, "scale_mode": "min_max", "min": -2.988, "max": 2.988, "range": [-1, 1]},
+            "e": {"transformation": "pow(x,m)", "m": 0.2, "scale_mode": "standard"},
+        },
+        "target_transform": {
+            "transformation": "logit_ratio", "f": 1.2, "alpha": 1.0e-6,
+            "scale_mode": "standard", "mean": -1.1424768, "std": 3.616942,
+        },
+    }
+    config_t = {
+        "num_epochs": 2,
+        "eval_every_n_epoch": 1,
+        "batch_size_train": 4,
+        "batch_size_val": 4,
+        "bucket_quantum": 64,
+        "learningrate": 1.0e-3,
+        "lr_scheduler": {
+            "name": "CustomLRScheduler", "warm_start_epochs": 1, "cosine_epochs": 1,
+            "eta_min": 1.0e-5, "last_epoch": -1, "max_epochs": "take_as_num_epochs",
+        },
+        "train_path": train,
+        "val_path": val,
+        "reduce_ds_train": -1,
+        "reduce_ds_val": -1,
+        "one_event_train": False,
+        "one_event_idx": 0,
+        "val_ode_method": "midpoint",
+    }
+    return config_mv, config_t
+
+
+def test_schedule_shape():
+    lr = warmup_cosine_epoch_schedule(1e-3, 10, 80, eta_min=1e-5, max_epoch=100)
+    assert lr(0) == pytest.approx(1e-5)
+    assert lr(10) == pytest.approx(1e-3)  # end of warmup
+    assert lr(90) == pytest.approx(1e-5)
+    assert lr(99) == pytest.approx(1e-5)
+    # fractional resolution
+    lr2 = warmup_cosine_epoch_schedule(1e-3, 0.1, 0.8, eta_min=1e-5, max_epoch=100)
+    assert lr2(10) == pytest.approx(1e-3)
+
+
+def test_sr_training_two_epochs(paths):
+    train, val, run = paths
+    config_mv, config_t = make_configs(train, val, run)
+    trainer = SRTrainer(config_mv, config_t, run_dir=run, seed=0)
+
+    train_ds = SupResEvents(train, config_mv)
+    val_ds = SupResEvents(val, config_mv)
+    state = trainer.fit(train_ds, val_ds)
+    assert state.epoch == 2
+
+    # metrics written
+    import json, os
+
+    lines = [json.loads(l) for l in open(os.path.join(run, "metrics.jsonl"))]
+    assert any("val/loss_raw" in l for l in lines)
+    assert all(np.isfinite(l.get("train/loss", 0.0)) for l in lines)
+
+    # checkpoints exist and can restore
+    assert trainer.ckpt.latest_step() == 1
+    restored = trainer.ckpt.restore(
+        {"params": state.params, "opt_state": state.opt_state}, which="last"
+    )
+    leaves0 = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(state.params)]
+    leaves1 = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(restored["params"])]
+    for a, b in zip(leaves0, leaves1):
+        np.testing.assert_array_equal(a, b)
