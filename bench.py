@@ -66,7 +66,9 @@ def main():
         )
 
     ds = SupResEvents(path, config_mv)
-    model = FlowModel(config=config_mv["flow_model"])
+    # bfloat16 compute (fp32 params/accumulation in the flash kernel) — the
+    # TPU production configuration
+    model = FlowModel(config=config_mv["flow_model"], dtype=jnp.bfloat16)
 
     # init params once on a small shape
     db_pad = 256

@@ -1,0 +1,163 @@
+"""Analysis layer over the end-to-end chain: SR inference file ->
+PerformanceCOCOA; PF inference files -> PFPerformanceCOCOA with idx join."""
+
+import os
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+import yaml
+
+from superresolutionhep_tpu.analysis.performance import PerformanceCOCOA, PFPerformanceCOCOA
+from superresolutionhep_tpu.inference.pf import PFInference
+
+from test_pf_pipeline import pf_config_mv, sr_pred_files  # noqa: F401
+
+
+def test_performance_loader_and_plots(sr_pred_files, tmp_path):
+    _, paths = sr_pred_files
+    perf = PerformanceCOCOA(paths[0], res_factor=2)
+    assert perf.n_events == 4
+    # ensemble average recomputed from components equals mean of comps
+    comp_keys = sorted(perf.high_e_pred_raw_comp)
+    assert len(comp_keys) == 2
+    manual = np.mean([np.asarray(perf.high_e_pred_raw_comp[k][0]) for k in comp_keys], axis=0)
+    np.testing.assert_allclose(np.asarray(perf.high_e_pred[0]), manual, rtol=1e-6)
+
+    fig, summary = perf.plot_residual_event(dir=str(tmp_path))
+    assert "res_event/pred_rel_iqr" in summary
+    perf.plot_residual_cell(dir=str(tmp_path))
+    perf.plot_evolution(0, dir=str(tmp_path))
+    perf.plot_evolution_raw_nn(0, dir=str(tmp_path))
+    perf.plot_residual_event_ens(dir=str(tmp_path))
+    fig, widths = perf.plot_ensemble_size_comparison(sizes=(1, 2), dir=str(tmp_path))
+    assert 2 in widths
+    assert os.path.exists(tmp_path / "residual_event.png")
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+@pytest.fixture(scope="module")
+def pf_pred_files(sr_pred_files, tmp_path_factory):
+    glob_arg, _ = sr_pred_files
+    d = tmp_path_factory.mktemp("pfinf")
+    cfg_mv = pf_config_mv()
+    mv_path = str(d / "config_mv.yml")
+    yaml.safe_dump(cfg_mv, open(mv_path, "w"))
+
+    out = []
+    for res in ["low", "high"]:
+        cfg_t = {
+            "resolution": res, "energy_threshold": 1.0, "loss_on_inc_wts": True,
+            "bucket_quantum": 64, "card_loss_weight": 0.5,
+        }
+        t_path = str(d / f"config_t_{res}.yml")
+        yaml.safe_dump(cfg_t, open(t_path, "w"))
+
+        # random weights: init via a throwaway trainer-like init
+        import jax
+        from superresolutionhep_tpu.models.pf.model_pf import SAPF
+        from superresolutionhep_tpu.transforms import build_var_transforms
+        from superresolutionhep_tpu.data.pf_dataset import PflowEvents, collate_pf
+        import jax.numpy as jnp
+
+        ds = PflowEvents(glob_arg, cfg_mv, energy_threshold=1.0, res=res, load_incidence=True)
+        ev = [ds.get_event(0)]
+        pad = ((len(ev[0]["cell_e"]) + 127) // 128) * 128
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in collate_pf(ev, pad, 4).items()
+            if k != "idx"
+        }
+        model = SAPF(config_pf=cfg_mv["pf_model"], transforms=build_var_transforms(cfg_mv["var_transform"]))
+        variables = model.init(jax.random.PRNGKey(0), batch)
+
+        inf = PFInference(
+            {"model": {"config_path_mv": mv_path, "config_path_t": t_path, "checkpoint_path": None},
+             "batch_size": 4},
+            params=variables["params"],
+        )
+        pred_path = str(d / f"pf_{res}.h5")
+        inf.run_pred({"glob_arg": glob_arg, "pred_path": pred_path, "store_inc_wt": True})
+        out.append(pred_path)
+    return out
+
+
+def test_pf_inference_and_joined_analysis(sr_pred_files, pf_pred_files, tmp_path):
+    _, sr_paths = sr_pred_files
+    lr_path, hr_path = pf_pred_files
+
+    from superresolutionhep_tpu.data import root_io
+
+    tree = root_io.read_tree(lr_path, "Particle_Tree")
+    for k in ["truth_pt_raw", "pred_pt_raw", "pred_phi", "truth_card", "pred_card", "idx", "pred_inc_wt_0"]:
+        assert k in tree
+
+    # joined loader needs the full SR file list merged; use the first chunk
+    # and matching subset: build a combined SR file equal to chunk 0 only is
+    # inconsistent with PF files over both chunks, so load chunk-level PF:
+    perf = PFPerformanceCOCOA.__new__(PFPerformanceCOCOA)
+    # instead: verify idx-join machinery on the PF loader level
+    idx = np.asarray(tree["idx"])
+    assert sorted(idx.tolist()) == list(range(8))
+
+    res_lr = [np.asarray(x) for x in tree["truth_pt_raw"].to_list()]
+    assert sum(len(x) for x in res_lr) > 0
+
+
+def test_pf_performance_joined(sr_pred_files, pf_pred_files, tmp_path):
+    """Full PFPerformanceCOCOA join over a single-chunk SR + PF pair."""
+    glob_arg, sr_paths = sr_pred_files
+    d = tmp_path
+
+    # rebuild PF predictions restricted to chunk 0 so event sets align
+    import jax
+    import jax.numpy as jnp
+    import yaml as _yaml
+
+    cfg_mv = pf_config_mv()
+    mv_path = str(d / "mv.yml")
+    _yaml.safe_dump(cfg_mv, open(mv_path, "w"))
+    paths = {}
+    for res in ["low", "high"]:
+        cfg_t = {"resolution": res, "energy_threshold": 1.0, "loss_on_inc_wts": True, "bucket_quantum": 64}
+        t_path = str(d / f"t_{res}.yml")
+        _yaml.safe_dump(cfg_t, open(t_path, "w"))
+        from superresolutionhep_tpu.data.pf_dataset import PflowEvents, collate_pf
+        from superresolutionhep_tpu.models.pf.model_pf import SAPF
+        from superresolutionhep_tpu.transforms import build_var_transforms
+
+        ds = PflowEvents(sr_paths[0], cfg_mv, energy_threshold=1.0, res=res, load_incidence=True)
+        ev0 = ds.get_event(0)
+        pad = ((len(ev0["cell_e"]) + 127) // 128) * 128
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in collate_pf([ev0], pad, 4).items()
+            if k != "idx"
+        }
+        model = SAPF(config_pf=cfg_mv["pf_model"], transforms=build_var_transforms(cfg_mv["var_transform"]))
+        variables = model.init(jax.random.PRNGKey(1), batch)
+        inf = PFInference(
+            {"model": {"config_path_mv": mv_path, "config_path_t": t_path, "checkpoint_path": None}, "batch_size": 4},
+            params=variables["params"],
+        )
+        paths[res] = inf.run_pred(
+            {"glob_arg": sr_paths[0], "pred_path": str(d / f"pf_{res}.h5"), "store_inc_wt": True}
+        )
+
+    perf = PFPerformanceCOCOA(sr_paths[0], paths["low"], paths["high"], res_factor=2)
+    assert perf.max_part == 4
+    assert len(perf.truth_cardinality) == 4
+    cm_lr, cm_hr = perf.cardinality_confusion()
+    assert cm_lr.sum() == 4 and cm_hr.sum() == 4
+    res = perf.kinematic_residuals()
+    assert "lr_pt" in res and "hr_phi" in res
+    fig = perf.plot_pf_event_display(0, dir=str(tmp_path))
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
