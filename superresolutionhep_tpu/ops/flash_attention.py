@@ -4,15 +4,23 @@ This is the hot kernel of both pipeline stages: masked self/cross attention
 over padded variable-length cell sets (up to ~3.5k cells/event in the
 multipart dataset).  The reference materialises the full (B,H,L,L) score
 tensor (models/attention.py:250-260); here the online-softmax blockwise
-formulation keeps O(BQ x L) live in VMEM, streams K/V blocks, and never
-writes the score matrix to HBM.
+formulation keeps O(BQ x BK) live in VMEM, streams K/V blocks through the
+grid, and never writes the score matrix to HBM.
+
+Performance notes (TPU v5e):
+  * large blocks (default 512x512) so each grid step feeds the MXU ~67 MFLOP
+    — small blocks drown in per-step grid overhead;
+  * padding masks are carried as (B, 1, L) float32 so the mask block is
+    lane-major (last dim = BK), not a degenerate (BQ, 1) column;
+  * fp32 accumulation via preferred_element_type regardless of input dtype
+    (bf16 inputs hit the MXU natively).
 
 Supported fast path: padding masks only (no adjacency mask / edge bias /
 score dropout) — exactly the configuration every shipped config uses.  The
 general path stays on the XLA einsum implementation (attention.py).
 
-Differentiation: a custom VJP recomputes attention blockwise for the backward
-pass (flash backward), so the kernel is usable in training too.
+Differentiation: a custom VJP recomputes attention in einsum form for the
+backward pass, so the kernel is usable in training too.
 """
 
 from __future__ import annotations
@@ -28,17 +36,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 512
 
-def _pick_block(n: int, preferred: int = 128) -> Optional[int]:
-    """Largest divisor of n that is <= preferred and a multiple of 8."""
-    for b in (preferred, 64, 32, 16, 8):
-        if n % b == 0:
+
+def _pick_block(n: int, preferred: int) -> Optional[int]:
+    for b in (preferred, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if b <= preferred and n % b == 0:
             return b
     return None
 
 
 def flash_shapes_ok(Lq: int, Lk: int, d: int) -> bool:
-    return _pick_block(Lq) is not None and _pick_block(Lk) is not None and d % 8 == 0
+    return (
+        _pick_block(Lq, DEFAULT_BLOCK_Q) is not None
+        and _pick_block(Lk, DEFAULT_BLOCK_K) is not None
+        and d % 8 == 0
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -46,10 +60,9 @@ def flash_shapes_ok(Lq: int, Lk: int, d: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, m_scr, l_scr, acc_scr, *, scale):
+def _fwd_kernel(q_ref, k_ref, v_ref, km_ref, qm_ref, o_ref, m_scr, l_scr, acc_scr, *, scale):
     """Grid (B, H, nQ, nK) with nK innermost/sequential; online-softmax carry
-    lives in VMEM scratch across the K-block sweep, so VMEM usage is bounded
-    by the block sizes regardless of sequence length."""
+    lives in VMEM scratch across the K-block sweep."""
     j = pl.program_id(3)
     n_k = pl.num_programs(3)
 
@@ -62,38 +75,37 @@ def _fwd_kernel(q_ref, k_ref, v_ref, qm_ref, km_ref, o_ref, m_scr, l_scr, acc_sc
     q = q_ref[0, 0]  # (BQ, D)
     k = k_ref[0, 0]  # (BK, D)
     v = v_ref[0, 0]  # (BK, D)
-    km = km_ref[0]  # (BK, 1)
+    km = km_ref[0]  # (1, BK) float
 
     s = lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BQ, BK)
-    s = jnp.where(jnp.transpose(km) > 0, s, NEG_INF)
+    s = jnp.where(km > 0, s, NEG_INF)
 
     m_prev = m_scr[:]
     m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
-    l_new = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
-    acc_new = acc_scr[:] * alpha + lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     m_scr[:] = m_new
-    l_scr[:] = l_new
-    acc_scr[:] = acc_new
 
     @pl.when(j == n_k - 1)
     def _finalize():
-        qm = qm_ref[0]  # (BQ, 1)
+        qm = qm_ref[0]  # (1, BQ)
         out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
-        o_ref[0, 0] = (out * (qm > 0)).astype(o_ref.dtype)
+        out = out * (jnp.transpose(qm) > 0)  # zero padded queries
+        o_ref[0, 0] = out.astype(o_ref.dtype)
 
 
 def _flash_fwd(q, k, v, qm, km, scale):
-    """q,k,v: (B,H,L,D); qm: (B,Lq,1) float; km: (B,Lk,1) float."""
+    """q,k,v: (B,H,L,D); qm: (B,1,Lq) float; km: (B,1,Lk) float."""
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
-    BQ = _pick_block(Lq)
-    BK = _pick_block(Lk)
+    BQ = _pick_block(Lq, DEFAULT_BLOCK_Q)
+    BK = _pick_block(Lk, DEFAULT_BLOCK_K)
 
     grid = (B, H, Lq // BQ, Lk // BK)
     out = pl.pallas_call(
@@ -104,8 +116,8 @@ def _flash_fwd(q, k, v, qm, km, scale):
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, 1), lambda b, h, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
@@ -121,7 +133,7 @@ def _flash_fwd(q, k, v, qm, km, scale):
             transcendentals=B * H * Lq * Lk,
         ),
         interpret=jax.default_backend() != "tpu",
-    )(q, k, v, qm, km)
+    )(q, k, v, km, qm)
     return out
 
 
@@ -136,15 +148,16 @@ def _flash_attention(q, k, v, qm, km, scale):
 
 
 def _ref_attention(q, k, v, qm, km, scale):
-    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
-    mask = km[:, None, None, :, 0] > 0
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    mask = km[:, None, :, :] > 0  # (B,1,1,Lk)
     s = jnp.where(mask, s, NEG_INF)
     s = s - s.max(axis=-1, keepdims=True)
     p = jnp.exp(s)
     p = p / jnp.maximum(p.sum(axis=-1, keepdims=True), 1e-30)
     p = jnp.where(mask, p, 0.0)
-    out = jnp.einsum("bhqk,bhkd->bhqd", p, v)
-    return out * (qm[:, None, :, :] > 0), p
+    out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    out = out * (jnp.swapaxes(qm, -1, -2)[:, None] > 0)  # (B,1,Lq,1) query mask
+    return out, p
 
 
 def _vjp_fwd(q, k, v, qm, km, scale):
@@ -154,14 +167,15 @@ def _vjp_fwd(q, k, v, qm, km, scale):
 def _vjp_bwd(scale, res, g):
     q, k, v, qm, km = res
     out, p = _ref_attention(q, k, v, qm, km, scale)
-    g = g * (qm[:, None, :, :] > 0)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", g, v)
-    # softmax backward: ds = p * (dp - sum(dp * p))
-    ds = p * (dp - (dp * p).sum(axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q) * scale
-    return dq, dk, dv, None, None
+    g = g * (jnp.swapaxes(qm, -1, -2)[:, None] > 0)
+    gf = g.astype(jnp.float32)
+    pf = p.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", pf, gf)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32))
+    ds = pf * (dp - (dp * pf).sum(axis=-1, keepdims=True))
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
 
 
 _flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
@@ -184,14 +198,14 @@ def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float):
     kt = jnp.transpose(k, (0, 2, 1, 3))
     vt = jnp.transpose(v, (0, 2, 1, 3))
     qm = (
-        jnp.ones((B, Lq, 1), jnp.float32)
+        jnp.ones((B, 1, Lq), jnp.float32)
         if q_valid is None
-        else q_valid.astype(jnp.float32)[..., None]
+        else q_valid.astype(jnp.float32)[:, None, :]
     )
     km = (
-        jnp.ones((B, Lk, 1), jnp.float32)
+        jnp.ones((B, 1, Lk), jnp.float32)
         if kv_valid is None
-        else kv_valid.astype(jnp.float32)[..., None]
+        else kv_valid.astype(jnp.float32)[:, None, :]
     )
 
     if flash_shapes_ok(Lq, Lk, D):
