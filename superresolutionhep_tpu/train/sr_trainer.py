@@ -260,7 +260,8 @@ class SRTrainer:
                 raise FloatingPointError(f"non-finite training loss at epoch {epoch}")
 
             if val_ds is not None and (epoch % eval_every == 0 or epoch == num_epochs - 1):
-                ep_stats.update(self.evaluate(val_ds))
+                make_plots = int(ct.get("n_event_displays", 0)) > 0
+                ep_stats.update(self.evaluate(val_ds, make_plots=make_plots, epoch=epoch))
 
             self.metrics.log_scalars(ep_stats, step=epoch)
             if self.ckpt is not None:
@@ -276,19 +277,73 @@ class SRTrainer:
         return self.state
 
     # ------------------------------------------------------------------
-    def evaluate(self, val_ds: SupResEvents, n_steps: Optional[int] = None) -> Dict[str, float]:
+    def evaluate(
+        self, val_ds: SupResEvents, n_steps: Optional[int] = None, make_plots: bool = False, epoch: int = 0
+    ) -> Dict[str, float]:
+        """Full generative validation. With ``make_plots``, mirrors the
+        reference's epoch-end visuals (lightning.py:251-267): event displays
+        for the first batch plus residual summary plots via the live
+        accumulator."""
         method = self.config_t.get("val_ode_method", "dopri5")
         n_steps = n_steps or self.n_steps
+        n_displays = int(self.config_t.get("n_event_displays", 0)) if make_plots else 0
+        perf_live = None
+        if make_plots:
+            from ..analysis.live import PerformanceCOCOALive
+
+            perf_live = PerformanceCOCOALive(int(self.config_mv.get("res_factor", 2)))
+
         tot_nn = tot_raw = tot_n = 0.0
+        first_batch = True
         for idxs, bucket in self._batcher(val_ds, "val", seed=0):
             events = [val_ds.get_event(i) if i >= 0 else None for i in idxs]
-            hb = collate(events, bucket.pad_n, with_low=False)
+            hb = collate(events, bucket.pad_n, with_low=make_plots)
             batch = self._device_batch(hb)
             self.rng, vrng = jax.random.split(self.rng)
             out = self._val_step(self.state.params, batch, vrng, n_steps=n_steps, method=method)
             tot_nn += float(out["se_nn"])
             tot_raw += float(out["se_raw"])
             tot_n += float(out["n_valid"])
+
+            if perf_live is not None:
+                e_pred_raw = np.asarray(out["e_pred_raw"])
+                perf_live.update(hb, e_pred_raw)
+                if first_batch and n_displays > 0:
+                    from ..analysis.live import event_display_figure
+
+                    pred = np.asarray(out["pred"])
+                    for p_i, ev in enumerate(events[:n_displays]):
+                        if ev is None:
+                            continue
+                        m = hb["q_mask"][p_i]
+                        pl_dict = {
+                            "eta_raw": hb["eta_raw"][p_i, m, 0],
+                            "phi": hb["phi"][p_i, m, 0],
+                            "layer": hb["layer"][p_i, m, 0],
+                            "target": hb["target"][p_i, m, 0],
+                            "e_truth_raw": hb["e_truth_raw"][p_i, m, 0] * 1e3,
+                            "pred": pred[p_i, m, 0],
+                            "e_pred_raw": e_pred_raw[p_i, m, 0] * 1e3,
+                        }
+                        fig = event_display_figure(pl_dict)
+                        self.metrics.log_figure(fig, f"ED_{p_i}")
+                        import matplotlib.pyplot as plt
+
+                        plt.close(fig)
+                first_batch = False
+
+        extra = {}
+        if perf_live is not None and perf_live.n_events:
+            import matplotlib.pyplot as plt
+
+            fig, summ = perf_live.plot_residual_event()
+            self.metrics.log_figure(fig, "residual_event_energy")
+            plt.close(fig)
+            extra.update(summ)
+            fig = perf_live.plot_residual_cell()
+            self.metrics.log_figure(fig, "residual_cell_energy")
+            plt.close(fig)
+
         n = max(tot_n, 1.0)
         # node-count-weighted epoch means (lightning.py:240-249)
-        return {"val/loss": tot_nn / n, "val/loss_raw": tot_raw / n}
+        return {"val/loss": tot_nn / n, "val/loss_raw": tot_raw / n, **extra}

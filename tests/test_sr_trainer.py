@@ -50,6 +50,7 @@ def make_configs(train, val, run):
         "one_event_train": False,
         "one_event_idx": 0,
         "val_ode_method": "midpoint",
+        "n_event_displays": 2,
     }
     return config_mv, config_t
 
