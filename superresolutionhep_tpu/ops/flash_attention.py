@@ -8,8 +8,10 @@ formulation keeps O(BQ x BK) live in VMEM, streams K/V blocks through the
 grid, and never writes the score matrix to HBM.
 
 Performance notes (TPU v5e):
-  * large blocks (default 512x512) so each grid step feeds the MXU ~67 MFLOP
-    — small blocks drown in per-step grid overhead;
+  * large blocks (default 1024x1024, swept empirically) so each grid step
+    feeds the MXU enough work — small blocks drown in per-step grid overhead;
+  * fully-padded Q/K blocks skip all compute, so cost tracks the actual
+    event length under bucketed padding;
   * padding masks are carried as (B, 1, L) float32 so the mask block is
     lane-major (last dim = BK), not a degenerate (BQ, 1) column;
   * fp32 accumulation via preferred_element_type regardless of input dtype
@@ -36,8 +38,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
-DEFAULT_BLOCK_Q = 512
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_K = 1024
 
 
 def _pick_block(n: int, preferred: int) -> Optional[int]:
@@ -60,9 +62,19 @@ def flash_shapes_ok(Lq: int, Lk: int, d: int) -> bool:
 # ---------------------------------------------------------------------------
 
 
+LOG2E = 1.4426950408889634
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, km_ref, qm_ref, o_ref, m_scr, l_scr, acc_scr, *, scale):
     """Grid (B, H, nQ, nK) with nK innermost/sequential; online-softmax carry
-    lives in VMEM scratch across the K-block sweep."""
+    lives in VMEM scratch across the K-block sweep.
+
+    Variable-length sets: blocks whose K (or Q) slice is fully padded skip
+    all compute — with bucketed padding this makes cost track the *actual*
+    event length, not the pad length (the softmax VPU work is the kernel's
+    bottleneck at head_dim 64).  The softmax runs in base-2 (exp2 with
+    pre-scaled log2(e)) which lowers more cheaply on the VPU.
+    """
     j = pl.program_id(3)
     n_k = pl.num_programs(3)
 
@@ -72,29 +84,33 @@ def _fwd_kernel(q_ref, k_ref, v_ref, km_ref, qm_ref, o_ref, m_scr, l_scr, acc_sc
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0, 0]  # (BQ, D)
-    k = k_ref[0, 0]  # (BK, D)
-    v = v_ref[0, 0]  # (BK, D)
     km = km_ref[0]  # (1, BK) float
+    qm = qm_ref[0]  # (1, BQ) float
+    block_live = (jnp.sum(km) > 0) & (jnp.sum(qm) > 0)
 
-    s = lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
-    s = jnp.where(km > 0, s, NEG_INF)
+    @pl.when(block_live)
+    def _update():
+        q = q_ref[0, 0]  # (BQ, D)
+        k = k_ref[0, 0]  # (BK, D)
+        v = v_ref[0, 0]  # (BK, D)
 
-    m_prev = m_scr[:]
-    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
-    l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    m_scr[:] = m_new
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * (scale * LOG2E)  # base-2 scores
+        s = jnp.where(km > 0, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+        p = jnp.exp2(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + p.sum(axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        m_scr[:] = m_new
 
     @pl.when(j == n_k - 1)
     def _finalize():
-        qm = qm_ref[0]  # (1, BQ)
         out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
         out = out * (jnp.transpose(qm) > 0)  # zero padded queries
         o_ref[0, 0] = out.astype(o_ref.dtype)
