@@ -47,6 +47,10 @@ class MultiheadAttention(nn.Module):
     dropout: float = 0.0
     dtype: Any = None
     impl: str = "auto"  # 'xla' | 'flash' | 'auto'
+    # sequence-parallel (context-parallel) mesh axis: when set, the token
+    # axis of k/v arrives sharded and is all-gathered over ICI while queries
+    # stay local — the shard_map CP extension the blockwise kernel enables
+    sp_axis: Optional[str] = None
 
     def setup(self):
         if self.embed_dim % self.num_heads:
@@ -96,6 +100,15 @@ class MultiheadAttention(nn.Module):
         q_p = self.linear_q(q).reshape(B, Lq, H, HD)
         k_p = self.linear_k(k).reshape(B, Lk, H, HD)
         v_p = self.linear_v(v).reshape(B, Lk, H, HD)
+
+        if self.sp_axis is not None:
+            # gather the sharded token axis of keys/values across the mesh;
+            # queries stay local (output token axis remains sharded)
+            k_p = jax.lax.all_gather(k_p, self.sp_axis, axis=1, tiled=True)
+            v_p = jax.lax.all_gather(v_p, self.sp_axis, axis=1, tiled=True)
+            if kv_valid is not None:
+                kv_valid = jax.lax.all_gather(kv_valid, self.sp_axis, axis=1, tiled=True)
+            Lk = k_p.shape[1]
 
         # Edge features -> additive bias E and sigmoid gate G (attention.py:188-203)
         if edges is not None:

@@ -30,6 +30,7 @@ class DiTLayer(nn.Module):
     dense_config: Optional[dict] = None
     dtype: Any = None
     attn_impl: str = "auto"
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -54,6 +55,7 @@ class DiTLayer(nn.Module):
             num_heads=self.num_heads,
             dtype=self.dtype,
             impl=self.attn_impl,
+            sp_axis=self.sp_axis,
             name="mha",
         )
         if k is None:  # self-attention: modulate the tokens themselves
@@ -97,6 +99,7 @@ class DiTEncoder(nn.Module):
     out_dim: int = 0
     dtype: Any = None
     attn_impl: str = "auto"
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, q, **kwargs):
@@ -107,6 +110,7 @@ class DiTEncoder(nn.Module):
                 dense_config=self.dense_config,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                sp_axis=self.sp_axis,
                 name=f"layers_{i}",
             )(q, **kwargs)
         q = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(q)

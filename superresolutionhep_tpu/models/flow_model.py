@@ -31,6 +31,9 @@ class FlowModel(nn.Module):
     config: dict  # the `flow_model` config block
     dtype: Any = None
     attn_impl: str = "auto"
+    # sequence-parallel mesh axis (cells sharded across devices); pooled
+    # context and attention K/V reduce/gather over it
+    sp_axis: str = None
 
     @nn.compact
     def __call__(self, batch, noisy_input, time_step, deterministic: bool = True):
@@ -64,7 +67,7 @@ class FlowModel(nn.Module):
         )(e_proxy, context=time_emb, deterministic=deterministic)
 
         cond_feat = jnp.concatenate([etaphi_emb, layer_emb, e_proxy_emb, e_proxy], axis=-1)
-        cond_feat_global = masked_mean(cond_feat, q_mask, axis=1)  # flow_model.py:210-211
+        cond_feat_global = masked_mean(cond_feat, q_mask, axis=1, psum_axis=self.sp_axis)
 
         noisy_input_emb = Dense.from_config(
             dict(cfg["noisy_input_emb"], context_size=context_size),
@@ -90,6 +93,7 @@ class FlowModel(nn.Module):
                 dense_config=dict(tcfg["dense_config"]),
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                sp_axis=self.sp_axis,
                 name="transformer",
             )(feat, q_valid=q_mask, context=context, deterministic=deterministic)
         elif tcfg["type"] == "GPT-2+Normformer":

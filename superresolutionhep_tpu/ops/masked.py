@@ -65,19 +65,27 @@ def merge_masks(q_valid, kv_valid, attn_valid, q_len: int, k_len: int):
     return merged
 
 
-def masked_mean(x, valid_mask, axis: int = 1):
+def masked_mean(x, valid_mask, axis: int = 1, psum_axis=None):
     """Mean over ``axis`` counting only valid entries; guarded denominator.
 
     Mirrors the pooled-context computation `sum(x*m)/sum(m)`
     (models/flow_model.py:210-211, pflow/models/encoder.py:52-53) but never
     divides by zero (fully-padded filler events in a bucket batch).
+
+    ``psum_axis``: mesh axis name for sequence-parallel execution — the token
+    axis is sharded, so numerator/denominator are psum-reduced across shards.
     """
+    import jax
+
     m = valid_mask.astype(x.dtype)
     while m.ndim < x.ndim:
         m = m[..., None]
     num = (x * m).sum(axis=axis)
-    den = jnp.maximum(m.sum(axis=axis), 1.0)
-    return num / den
+    den = m.sum(axis=axis)
+    if psum_axis is not None:
+        num = jax.lax.psum(num, psum_axis)
+        den = jax.lax.psum(den, psum_axis)
+    return num / jnp.maximum(den, 1.0)
 
 
 def attach_context(x, context):
