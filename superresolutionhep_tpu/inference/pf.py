@@ -25,7 +25,7 @@ from ..data.jagged import JaggedArray
 from ..data.pf_dataset import PflowEvents, collate_pf
 from ..losses.set2set import set_to_set_incidence_loss, set_to_set_kinematics_loss
 from ..models.pf.model_pf import SAPF
-from ..train.checkpoint import load_single
+from ..train.checkpoint import load_params
 from ..transforms import build_var_transforms
 
 
@@ -41,7 +41,7 @@ class PFInference:
             config_pf=pf_cfg, transforms=self.transforms, inference=True
         )
         if params is None:
-            ckpt = load_single(inf_cfg["model"]["checkpoint_path"])
+            ckpt = load_params(inf_cfg["model"]["checkpoint_path"])
             params = ckpt["params"] if isinstance(ckpt, dict) and "params" in ckpt else ckpt
         self.params = params
         self.loss_on_inc = bool(self.config_t.get("loss_on_inc_wts", False))

@@ -35,7 +35,7 @@ from ..data.jagged import JaggedArray
 from ..data.sr_dataset import SupResEvents, collate
 from ..flow.sampling import generate_ensemble
 from ..models.flow_model import FlowModel
-from ..train.checkpoint import load_single
+from ..train.checkpoint import load_params
 from ..transforms import TargetTransform
 
 
@@ -48,7 +48,7 @@ class SRInference:
         self.target_transform = TargetTransform.from_config(self.config_mv["target_transform"])
 
         if params is None:
-            ckpt = load_single(inf_cfg["model"]["checkpoint_path"])
+            ckpt = load_params(inf_cfg["model"]["checkpoint_path"])
             params = ckpt["params"] if isinstance(ckpt, dict) and "params" in ckpt else ckpt
         self.params = params
 

@@ -76,6 +76,54 @@ class CheckpointManager:
         self._last.close()
 
 
+def load_params(path: str) -> Any:
+    """Resolve a checkpoint path flexibly and return the saved state.
+
+    Accepts: a direct Orbax item dir; a CheckpointManager root (picks the
+    best step, falling back to the latest); or ``<root>/best`` / ``<root>/last``.
+    """
+    p = os.path.abspath(path)
+
+    def _try(d):
+        """Restore as plain numpy arrays — immune to device-topology changes
+        between save (e.g. 8-device training mesh) and load (1 chip)."""
+        try:
+            import numpy as np
+
+            ckptr = ocp.PyTreeCheckpointer()
+            meta = ckptr.metadata(d)
+            tree = getattr(meta, "item_metadata", meta)
+            tree = getattr(tree, "tree", tree)
+            restore_args = jax.tree_util.tree_map(
+                lambda m: ocp.RestoreArgs(restore_type=np.ndarray), tree
+            )
+            return ckptr.restore(d, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+        except Exception:
+            return None
+
+    for cand in (p, os.path.join(p, "default")):
+        out = _try(cand)
+        if out is not None:
+            return out
+
+    # manager layouts
+    for which in ("best", "last"):
+        root = p if os.path.basename(p) == which else os.path.join(p, which)
+        if os.path.isdir(root):
+            steps = sorted(
+                int(d) for d in os.listdir(root) if d.isdigit() and os.path.isdir(os.path.join(root, d))
+            )
+            for step in reversed(steps):
+                for cand in (
+                    os.path.join(root, str(step), "default"),
+                    os.path.join(root, str(step)),
+                ):
+                    out = _try(cand)
+                    if out is not None:
+                        return out
+    raise FileNotFoundError(f"no restorable checkpoint found under {path!r}")
+
+
 def save_single(path: str, state: Any):
     """One-shot checkpoint save (for inference export)."""
     ckptr = ocp.StandardCheckpointer()
