@@ -258,7 +258,7 @@ class PFTrainer:
             ep["train/epoch_s"] = time.time() - t0
 
             if val_ds is not None and (epoch % eval_every == 0 or epoch == num_epochs - 1):
-                ep.update(self.evaluate(val_ds))
+                ep.update(self.evaluate(val_ds, make_plots=bool(ct.get("epoch_end_plots", True))))
 
             self.metrics.log_scalars(ep, step=epoch)
             self.ckpt.save(
@@ -270,9 +270,10 @@ class PFTrainer:
         return self.state
 
     # ------------------------------------------------------------------
-    def evaluate(self, val_ds: PflowEvents) -> Dict[str, float]:
+    def evaluate(self, val_ds: PflowEvents, make_plots: bool = False) -> Dict[str, float]:
         sums, n_b = {}, 0
         card_t, card_p = [], []
+        kin_res: Dict[str, list] = {k: [] for k in ["pt", "eta", "phi", "e"]}
         for idxs, bucket in self._batcher(val_ds, "val", seed=0):
             events = [val_ds.get_event(i) if i >= 0 else None for i in idxs]
             hb = collate_pf(events, bucket.pad_n, self.max_part)
@@ -286,9 +287,77 @@ class PFTrainer:
             if "card_pred" in extras:
                 card_t.append(np.asarray(extras["card_truth"])[real])
                 card_p.append(np.asarray(extras["card_pred"])[real])
+            if make_plots and "kin_pred_matched" in extras:
+                # matched raw-space residuals (lightning_pf.py:200-220)
+                km = np.asarray(extras["kin_pred_matched"])
+                pm = hb["part_mask"] & real[:, None]
+                tr = self.transforms
+                kin_res["pt"].append(
+                    hb["part_pt_raw"][pm] - np.asarray(tr["pt"].inverse(km[..., 0]))[pm]
+                )
+                kin_res["eta"].append(
+                    hb["part_eta_raw"][pm] - np.asarray(tr["eta"].inverse(km[..., 1]))[pm]
+                )
+                dphi = hb["part_phi"][pm] - km[..., 2][pm]
+                kin_res["phi"].append((dphi + np.pi) % (2 * np.pi) - np.pi)
+                kin_res["e"].append(
+                    hb["part_dep_e_raw"][pm] - np.asarray(tr["e"].inverse(km[..., 3]))[pm]
+                )
         res = {k: v / max(n_b, 1) for k, v in sums.items()}
         if card_t:
             t = np.concatenate(card_t)
             p = np.concatenate(card_p)
             res["val/card_accuracy"] = float((t == p).mean())
+            if make_plots:
+                self._plot_cardinality_confusion(t, p)
+        if make_plots and any(len(v) for v in kin_res.values()):
+            self._plot_kinematics_residuals({k: np.hstack(v) for k, v in kin_res.items() if v})
         return res
+
+    def _plot_cardinality_confusion(self, truth, pred):
+        """Confusion-matrix heatmap (lightning_pf.py:283-298)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        n = self.max_part + 1
+        cm = np.zeros((n, n), int)
+        for t, p in zip(truth, pred):
+            cm[min(int(p), n - 1), min(int(t), n - 1)] += 1
+        fig, ax = plt.subplots(figsize=(6, 5), dpi=100)
+        im = ax.imshow(cm, cmap="Blues")
+        for i in range(n):
+            for j in range(n):
+                ax.text(j, i, str(cm[i, j]), ha="center", va="center", fontsize=8)
+        ax.set_xlabel("truth cardinality")
+        ax.set_ylabel("pred cardinality")
+        fig.colorbar(im, ax=ax)
+        self.metrics.log_figure(fig, "cardinality")
+        plt.close(fig)
+
+    def _plot_kinematics_residuals(self, res: Dict[str, np.ndarray]):
+        """Residual histograms with mu/sigma/median/IQR labels
+        (lightning_pf.py:301-337)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, axes = plt.subplots(1, len(res), figsize=(4 * len(res), 3.5), dpi=100)
+        for ax, (name, r) in zip(np.atleast_1d(axes), res.items()):
+            if r.size == 0:
+                continue
+            lo, hi = np.percentile(r, [3, 97])
+            bins = np.linspace(lo, hi if hi > lo else lo + 1, 60)
+            ax.hist(r, bins=bins, histtype="stepfilled", color="cornflowerblue", ec="k", lw=0.5)
+            iqr = np.subtract(*np.percentile(r, [75, 25]))
+            ax.set_title(
+                rf"$\mu$={r.mean():.2f}, $\sigma$={r.std():.2f}"
+                f"\nmed={np.median(r):.2f}, IQR={iqr:.2f}",
+                fontsize=9,
+            )
+            ax.set_xlabel(f"{name} (truth - pred)")
+        fig.tight_layout()
+        self.metrics.log_figure(fig, "kinematics")
+        plt.close(fig)
