@@ -200,6 +200,52 @@ class PerformanceCOCOA:
             fig.savefig(f"{dir}/residual_cell.png")
         return fig
 
+    def plot_residual_cell_for_one_event(self, ev_i: int = 0, dir=None, pred=None):
+        """Per-cell residuals of a single event (plot_summaries.py variant)."""
+        import matplotlib.pyplot as plt
+
+        pred = pred if pred is not None else self.high_e_pred
+        t = self.high_e_truth[ev_i]
+        p = np.asarray(pred[ev_i])
+        fig, axes = plt.subplots(1, 2, figsize=(9, 4), dpi=110)
+        res = p - t
+        from .util import mean_std_iqr_label
+
+        lbl, _ = mean_std_iqr_label(res, 1)
+        axes[0].hist(res, bins=robust_bins(res), histtype="stepfilled", color="cornflowerblue", label=lbl)
+        axes[0].set_xlabel(r"$E_{pred} - E_{truth}$ [MeV]")
+        axes[0].legend(fontsize=7)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            rel = res / t
+        rel = rel[np.isfinite(rel)]
+        lbl, _ = mean_std_iqr_label(rel)
+        axes[1].hist(rel, bins=robust_bins(rel), histtype="stepfilled", color="cornflowerblue", label=lbl)
+        axes[1].set_xlabel(r"$(E_{pred} - E_{truth}) / E_{truth}$")
+        axes[1].legend(fontsize=7)
+        fig.tight_layout()
+        if dir:
+            fig.savefig(f"{dir}/residual_cell_ev{ev_i}.png")
+        return fig
+
+    def plot_evolution_raw_nn_dist(self, dir=None, max_events: int = 200):
+        """Distribution of the NN-space prediction at each stored ODE time
+        across events (plot_event_displays.py NN-space evolution variant)."""
+        import matplotlib.pyplot as plt
+
+        step_keys = sorted(self.high_raw_nn_pred_step)
+        series = [("cond", self.high_raw_nn_cond), ("target", self.high_raw_nn_target)]
+        series += [(k, self.high_raw_nn_pred_step[k]) for k in step_keys]
+        series.append(("pred", self.high_raw_nn_pred))
+        fig, ax = plt.subplots(figsize=(8, 5), dpi=110)
+        for name, rows in series:
+            flat = np.hstack([np.asarray(r) for r in rows[:max_events]])
+            ax.hist(flat, bins=60, histtype="step", density=True, label=name)
+        ax.legend(fontsize=7)
+        ax.set_xlabel("NN-space value")
+        if dir:
+            fig.savefig(f"{dir}/evolution_nn_dist.png")
+        return fig
+
     # ------------------------------------------------------------------
     def _bin_image(self, eta, phi, layer, values, L, high=True):
         """eta-phi 2D histogram for one layer at that layer's granularity;

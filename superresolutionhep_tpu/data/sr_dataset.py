@@ -52,6 +52,7 @@ class SupResEvent:
     low_e_part: Optional[np.ndarray]  # (n_low_ecal, n_part)
     cond_params: Dict[str, float]  # fitted per-event energy-transform stats
     idx: int
+    edges: Optional[tuple] = None  # (src, dst) predefined HR adjacency, post-cut indexing
 
 
 class SupResEvents:
@@ -196,16 +197,29 @@ class SupResEvents:
             # particle deposited energy over ECAL cells only (dataset.py:275)
             particles["dep_e"] = energy[high["layer"] < N_ECAL_LAYERS].sum(axis=0)
 
+        # predefined HR adjacency (graph_building: predefined,
+        # dataset.py:144-147): file edge indices remapped through the reorder
+        # so they address the reordered node layout, then through the ECAL cut
+        edges = None
+        if self.config_mv.get("graph_building") == "predefined" and "cell_to_cell_edge_start_high" in ht:
+            inv_reorder = np.argsort(reorder)
+            src = inv_reorder[ht["cell_to_cell_edge_start_high"][idx].astype(np.int64)]
+            dst = inv_reorder[ht["cell_to_cell_edge_end_high"][idx].astype(np.int64)]
+
         # ECAL cut last (dataset.py:278-283)
         hm = high["layer"] < N_ECAL_LAYERS
         lm = low["layer"] < N_ECAL_LAYERS
+        if self.config_mv.get("graph_building") == "predefined" and "cell_to_cell_edge_start_high" in ht:
+            new_index = np.cumsum(hm) - 1  # old idx -> new idx for kept cells
+            keep = hm[src] & hm[dst]
+            edges = (new_index[src[keep]], new_index[dst[keep]])
         high = {k: v[hm] for k, v in high.items()}
         low = {k: v[lm] for k, v in low.items()}
         if high_e_part is not None:
             high_e_part = high_e_part[hm]
             low_e_part = low_e_part[lm]
 
-        return SupResEvent(high, low, particles, high_e_part, low_e_part, cond_params, idx)
+        return SupResEvent(high, low, particles, high_e_part, low_e_part, cond_params, idx, edges)
 
 
 HIGH_KEYS_F32 = [
@@ -228,6 +242,7 @@ def collate(
     pad_n: int,
     with_low: bool = False,
     pad_n_low: Optional[int] = None,
+    with_edge_mask: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Pad a list of events (None == filler slot) to a fixed-shape batch.
 
@@ -258,6 +273,22 @@ def collate(
         out["cond_mean"][i, 0] = ev.cond_params.get("mean", 0.0)
         out["cond_std"][i, 0] = ev.cond_params.get("std", 1.0)
         out["idx"][i] = ev.idx
+
+    if with_edge_mask:
+        # (B, N, N) adjacency (dataset.py:314,336-337): predefined edges when
+        # present, else all-to-all among valid cells; feeds the model's
+        # ``attn_valid`` hook (the reference stores but never consumes it,
+        # models/flow_model.py:234)
+        em = np.zeros((B, pad_n, pad_n), bool)
+        for i, ev in enumerate(events):
+            if ev is None:
+                continue
+            if ev.edges is not None:
+                em[i, ev.edges[0], ev.edges[1]] = True
+            else:
+                n = len(ev.high["eta"])
+                em[i, :n, :n] = True
+        out["edge_mask"] = em
 
     if with_low:
         pl = pad_n_low if pad_n_low is not None else pad_n

@@ -26,6 +26,7 @@ class MetricsLogger:
         os.makedirs(self.plot_dir, exist_ok=True)
         self._fp = open(os.path.join(self.run_dir, "metrics.jsonl"), "a", buffering=1)
         self._t0 = time.time()
+        self._write_run_metadata()
 
         self.comet = None
         if use_comet:
@@ -35,6 +36,31 @@ class MetricsLogger:
                 self.comet = comet_ml.Experiment(**(comet_kwargs or {}))
             except Exception:
                 self.comet = None
+
+    def _write_run_metadata(self):
+        """Provenance snapshot — the analog of the reference uploading its
+        configs and full source tree to Comet (train.py:96-104): record the
+        command line, git revision and device topology."""
+        import subprocess
+        import sys
+
+        meta = {"argv": sys.argv, "t": time.time()}
+        try:
+            meta["git_rev"] = (
+                subprocess.check_output(
+                    ["git", "rev-parse", "HEAD"], cwd=os.path.dirname(os.path.abspath(__file__)),
+                    stderr=subprocess.DEVNULL,
+                ).decode().strip()
+            )
+        except Exception:
+            pass
+        try:
+            meta["devices"] = [str(d) for d in jax.devices()]
+            meta["backend"] = jax.default_backend()
+        except Exception:
+            pass
+        with open(os.path.join(self.run_dir, "run_metadata.json"), "w") as fp:
+            json.dump(meta, fp, indent=2)
 
     def log_scalars(self, scalars: dict, step: int, prefix: str = ""):
         rec = {"step": step, "t": round(time.time() - self._t0, 3)}

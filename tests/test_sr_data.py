@@ -113,3 +113,22 @@ def test_bucket_batcher_covers_all_events_once():
         seen.extend(real.tolist())
     assert sorted(seen) == list(range(223))
     assert len(bb) == sum(1 for _ in bb)
+
+
+def test_collate_edge_mask_all2all_and_predefined():
+    from superresolutionhep_tpu.data.sr_dataset import SupResEvent, collate
+
+    high = {k: np.zeros(3, np.float32) for k in
+            ["eta", "phi", "cosphi", "sinphi", "e_truth", "e_proxy",
+             "eta_raw", "e_truth_raw", "e_proxy_raw", "target"]}
+    high["layer"] = np.zeros(3, np.int32)
+    ev_all = SupResEvent(high, {"eta_raw": np.zeros(1)}, None, None, None, {}, 0)
+    ev_pre = SupResEvent(high, {"eta_raw": np.zeros(1)}, None, None, None, {}, 1,
+                         edges=(np.array([0, 1, 2]), np.array([1, 2, 0])))
+    b = collate([ev_all, ev_pre], pad_n=8, with_edge_mask=True)
+    em = b["edge_mask"]
+    assert em.shape == (2, 8, 8)
+    assert em[0, :3, :3].all() and not em[0, 3:, :].any()
+    expect = np.zeros((8, 8), bool)
+    expect[[0, 1, 2], [1, 2, 0]] = True
+    np.testing.assert_array_equal(em[1], expect)
