@@ -131,13 +131,18 @@ def main():
         print(f"compiled {shape}: {time.time()-tc:.1f}s", file=sys.stderr)
 
     # timed pass
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))  # axon: block_until_ready is a no-op
+
+    per_batch = []
     t0 = time.time()
     total_events = 0
-    out = None
     for i, (mb, n_real) in enumerate(batches):
+        tb = time.time()
         out = jitted(mb, jax.random.fold_in(key, i))
+        sync(out)
+        per_batch.append((tuple(mb["eta"].shape[:2]), n_real, round(time.time() - tb, 3)))
         total_events += n_real
-    out.block_until_ready()
     dt = time.time() - t0
 
     events_per_sec = total_events / dt
@@ -169,6 +174,7 @@ def main():
                     "host_prep_s": round(host_prep_s, 3),
                     "p50_event_latency_ms": round(1000.0 * dt / max(total_events, 1), 2),
                     "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
+                    "per_batch": per_batch,
                 }
             }
         ),

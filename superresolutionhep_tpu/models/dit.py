@@ -100,11 +100,15 @@ class DiTEncoder(nn.Module):
     dtype: Any = None
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
+    # rematerialise each layer in the backward pass (jax.checkpoint): trades
+    # FLOPs for HBM, the standard lever for long-cell-set training
+    remat: bool = False
 
     @nn.compact
     def __call__(self, q, **kwargs):
+        layer_cls = nn.remat(DiTLayer) if self.remat else DiTLayer
         for i in range(self.num_layers):
-            q = DiTLayer(
+            q = layer_cls(
                 embed_dim=self.embed_dim,
                 num_heads=self.num_heads,
                 dense_config=self.dense_config,

@@ -34,6 +34,7 @@ class FlowModel(nn.Module):
     # sequence-parallel mesh axis (cells sharded across devices); pooled
     # context and attention K/V reduce/gather over it
     sp_axis: str = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, batch, noisy_input, time_step, deterministic: bool = True):
@@ -94,6 +95,7 @@ class FlowModel(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 sp_axis=self.sp_axis,
+                remat=self.remat,
                 name="transformer",
             )(feat, q_valid=q_mask, context=context, deterministic=deterministic)
         elif tcfg["type"] == "GPT-2+Normformer":

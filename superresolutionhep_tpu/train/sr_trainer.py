@@ -77,7 +77,9 @@ class SRTrainer:
         self.dtype = dtype
 
         fm_cfg = config_mv["flow_model"]
-        self.model = FlowModel(config=fm_cfg, dtype=dtype)
+        self.model = FlowModel(
+            config=fm_cfg, dtype=dtype, remat=bool(config_t.get("remat", False))
+        )
         self.sigma_min = float(fm_cfg["sigma_min"])
         self.n_steps = int(fm_cfg["n_steps"])
         self.target_transform = TargetTransform.from_config(config_mv["target_transform"])
