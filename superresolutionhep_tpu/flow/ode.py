@@ -80,6 +80,35 @@ def odeint_fixed(f: Callable, y0, ts, method: str = "midpoint"):
     return jnp.concatenate([y0[None], ys], axis=0)
 
 
+def odeint_fixed_store(f: Callable, y0, ts, store_idx, method: str = "midpoint"):
+    """Fixed-step integration storing ONLY the grid states in ``store_idx``
+    (sorted, static).  The full-trajectory variant costs O(T x state) HBM —
+    at production inference shapes that's gigabytes of trajectory for a
+    handful of wanted snapshots (inference.py:54-69 stores ~5).
+
+    Returns (len(store_idx), *y0.shape) stacked in store_idx order.
+    """
+    step = FIXED_STEP_METHODS[method]
+    store_idx = sorted(set(int(i) for i in store_idx))
+    out = []
+    y = y0
+    pos = 0
+    for target in store_idx:
+        if target == 0:
+            out.append(y0)
+            continue
+        seg = jnp.stack([ts[pos:target], ts[pos + 1 : target + 1]], axis=-1)
+
+        def body(y, t_pair):
+            t0, t1 = t_pair
+            return step(f, t0, t1, y), None
+
+        y, _ = lax.scan(body, y, seg)
+        pos = target
+        out.append(y)
+    return jnp.stack(out, axis=0)
+
+
 # ----------------------------------------------------------------------------
 # Dormand-Prince 5(4) adaptive solver with dense output
 # ----------------------------------------------------------------------------

@@ -17,7 +17,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .ode import odeint
+from .ode import FIXED_STEP_METHODS, odeint, odeint_fixed_store
 
 
 def generate_samples(
@@ -30,9 +30,14 @@ def generate_samples(
     ret_seq: bool = False,
     rtol: float = 1e-4,
     atol: float = 1e-4,
+    store_indices=None,
 ):
-    """apply_fn(variables, batch, noisy, t) -> v_t.  Returns final sample
-    (B,N,1) or trajectory (n_steps,B,N,1) when ret_seq."""
+    """apply_fn(variables, batch, noisy, t) -> v_t.
+
+    Returns the final sample (B,N,1); with ``ret_seq`` the full trajectory
+    (n_steps,B,N,1); with ``store_indices`` (fixed-step methods) only the
+    selected grid states (S,B,N,1) — O(S) instead of O(T) trajectory memory.
+    """
     e_proxy = batch["e_proxy"]
     x0 = jax.random.normal(key, e_proxy.shape, e_proxy.dtype)
     ts = jnp.linspace(0.0, 1.0, n_steps)
@@ -41,7 +46,12 @@ def generate_samples(
         t_vec = jnp.full((x.shape[0],), t, x.dtype)
         return apply_fn(variables, batch, x, t_vec)
 
+    if store_indices is not None and method in FIXED_STEP_METHODS:
+        return odeint_fixed_store(vector_field, x0, ts, store_indices, method)
+
     traj = odeint(vector_field, x0, ts, method=method, rtol=rtol, atol=atol)
+    if store_indices is not None:
+        return traj[jnp.asarray(sorted(set(int(i) for i in store_indices)))]
     return traj if ret_seq else traj[-1]
 
 
@@ -56,10 +66,12 @@ def generate_ensemble(
     ret_seq: bool = True,
     rtol: float = 1e-4,
     atol: float = 1e-4,
+    store_indices=None,
 ):
     """Vmapped ensemble of generate_samples over independent noise draws.
 
-    Returns (n_ensemble, n_steps, B, N, 1) when ret_seq else (n_ensemble, B, N, 1).
+    Returns (n_ensemble, n_steps, B, N, 1) when ret_seq, (n_ensemble, S, B,
+    N, 1) with store_indices, else (n_ensemble, B, N, 1).
     """
     keys = jax.random.split(key, n_ensemble)
     fn = partial(
@@ -72,5 +84,6 @@ def generate_ensemble(
         ret_seq=ret_seq,
         rtol=rtol,
         atol=atol,
+        store_indices=store_indices,
     )
     return jax.vmap(fn)(keys)

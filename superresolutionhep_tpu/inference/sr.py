@@ -64,12 +64,19 @@ class SRInference:
                 self.ts_to_store.append(float(ts_used[idx]))
                 self.ts_to_store_idx.append(idx)
 
+        # selective trajectory capture: only the stored intermediate steps +
+        # the final state live in HBM (O(S) not O(n_steps) trajectory memory)
+        self.store_set = sorted(set(self.ts_to_store_idx) | {n_steps - 1})
+        self.store_pos = {idx: i for i, idx in enumerate(self.store_set)}
         self._jitted = jax.jit(self._gen, static_argnames=("n_ensemble", "n_steps", "method"))
 
     # ------------------------------------------------------------------
     def _gen(self, batch, key, n_ensemble: int, n_steps: int, method: str):
         apply_fn = lambda v, b, x, t: self.model.apply(v, b, x, t)  # noqa: E731
-        return generate_ensemble(
+        from ..flow.ode import FIXED_STEP_METHODS
+
+        store = self.store_set if method in FIXED_STEP_METHODS else None
+        out = generate_ensemble(
             apply_fn,
             {"params": self.params},
             batch,
@@ -78,7 +85,11 @@ class SRInference:
             n_steps=n_steps,
             method=method,
             ret_seq=True,
+            store_indices=store,
         )
+        if store is None:  # full trajectory: slice down to the stored states
+            out = out[:, jnp.asarray(self.store_set)]
+        return out
 
     # ------------------------------------------------------------------
     def run_pred(self, inf_dict: dict) -> str:
@@ -193,7 +204,7 @@ class SRInference:
         high_z["raw_nn_cond"].append(ev.high["e_proxy"])
         high_z["raw_nn_target"].append(ev.high["target"])
 
-        comp_final = traj[:, -1, :n_high]  # (E, N)
+        comp_final = traj[:, self.store_pos[self.n_steps - 1], :n_high]  # (E, N)
         avg_final = comp_final.mean(axis=0)
         high_z["raw_nn_pred"].append(avg_final)
 
@@ -204,7 +215,7 @@ class SRInference:
         high_z["e_pred_raw"].append(comp_raw_final.mean(axis=0) * 1e3)
 
         for t, ts_i in zip(self.ts_to_store, self.ts_to_store_idx):
-            comp_t = traj[:, ts_i, :n_high]
+            comp_t = traj[:, self.store_pos[ts_i], :n_high]
             avg_t = comp_t.mean(axis=0)
             high_z[f"raw_nn_pred_{t:.2f}"].append(avg_t)
             high_z[f"e_pred_avg_raw_{t:.2f}"].append(np.asarray(tt.inverse(avg_t, proxy_raw)) * 1e3)
