@@ -48,9 +48,12 @@ class MultiheadAttention(nn.Module):
     dtype: Any = None
     impl: str = "auto"  # 'xla' | 'flash' | 'auto'
     # sequence-parallel (context-parallel) mesh axis: when set, the token
-    # axis of k/v arrives sharded and is all-gathered over ICI while queries
-    # stay local — the shard_map CP extension the blockwise kernel enables
+    # axis of k/v arrives sharded and is either all-gathered over ICI
+    # (sp_mode='gather') or rotated around the ring with online-softmax
+    # accumulation (sp_mode='ring', ops/ring_attention.py) while queries
+    # stay local
     sp_axis: Optional[str] = None
+    sp_mode: str = "gather"  # 'gather' | 'ring'
 
     def setup(self):
         if self.embed_dim % self.num_heads:
@@ -100,6 +103,18 @@ class MultiheadAttention(nn.Module):
         q_p = self.linear_q(q).reshape(B, Lq, H, HD)
         k_p = self.linear_k(k).reshape(B, Lk, H, HD)
         v_p = self.linear_v(v).reshape(B, Lk, H, HD)
+
+        if self.sp_axis is not None and self.sp_mode == "ring":
+            if edges is not None or attn_bias is not None or attn_valid is not None:
+                raise NotImplementedError("ring attention supports padding masks only")
+            from ..ops.ring_attention import ring_masked_attention
+
+            out = ring_masked_attention(
+                q_p, k_p, v_p, q_valid, kv_valid, 1.0 / scale, self.sp_axis
+            ).reshape(B, Lq, self.embed_dim)
+            if self.out_proj:
+                out = self.linear_out(out)
+            return out
 
         if self.sp_axis is not None:
             # gather the sharded token axis of keys/values across the mesh;

@@ -31,6 +31,7 @@ class DiTLayer(nn.Module):
     dtype: Any = None
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
+    sp_mode: str = "gather"
 
     @nn.compact
     def __call__(
@@ -56,6 +57,7 @@ class DiTLayer(nn.Module):
             dtype=self.dtype,
             impl=self.attn_impl,
             sp_axis=self.sp_axis,
+            sp_mode=self.sp_mode,
             name="mha",
         )
         if k is None:  # self-attention: modulate the tokens themselves
@@ -100,6 +102,7 @@ class DiTEncoder(nn.Module):
     dtype: Any = None
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
+    sp_mode: str = "gather"
     # rematerialise each layer in the backward pass (jax.checkpoint): trades
     # FLOPs for HBM, the standard lever for long-cell-set training
     remat: bool = False
@@ -115,6 +118,7 @@ class DiTEncoder(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 sp_axis=self.sp_axis,
+                sp_mode=self.sp_mode,
                 name=f"layers_{i}",
             )(q, **kwargs)
         q = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(q)

@@ -34,6 +34,7 @@ class FlowModel(nn.Module):
     # sequence-parallel mesh axis (cells sharded across devices); pooled
     # context and attention K/V reduce/gather over it
     sp_axis: str = None
+    sp_mode: str = "gather"
     remat: bool = False
 
     @nn.compact
@@ -95,6 +96,7 @@ class FlowModel(nn.Module):
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
                 sp_axis=self.sp_axis,
+                sp_mode=self.sp_mode,
                 remat=self.remat,
                 name="transformer",
             )(feat, q_valid=q_mask, context=context, deterministic=deterministic)

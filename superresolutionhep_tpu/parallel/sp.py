@@ -46,10 +46,11 @@ def _batch_specs(batch):
     return specs
 
 
-def make_sp_forward(flow_config: dict, mesh: Mesh, dtype=None):
+def make_sp_forward(flow_config: dict, mesh: Mesh, dtype=None, sp_mode: str = "gather"):
     """Returns (model_sp, forward_fn) where forward_fn(variables, batch,
-    noisy, t) runs the FlowModel with cells sharded over ``seq``."""
-    model_sp = FlowModel(config=flow_config, dtype=dtype, sp_axis=SEQ)
+    noisy, t) runs the FlowModel with cells sharded over ``seq``;
+    ``sp_mode`` picks all-gather vs ring K/V movement."""
+    model_sp = FlowModel(config=flow_config, dtype=dtype, sp_axis=SEQ, sp_mode=sp_mode)
 
     def local(variables, batch, noisy, t):
         return model_sp.apply(variables, batch, noisy, t)

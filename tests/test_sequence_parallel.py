@@ -56,3 +56,14 @@ def test_sp_train_step_runs_and_improves(setup):
         params, opt_state, loss = step(params, opt_state, batch, jax.random.fold_in(rng, i))
         losses.append(float(loss))
     assert all(np.isfinite(losses))
+
+
+def test_ring_attention_matches_single_device(setup):
+    cfg, mesh, batch, noisy, t = setup
+    model = FlowModel(config=cfg, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), batch, noisy, t)
+    ref = model.apply(variables, batch, noisy, t)
+
+    _, sp_forward = make_sp_forward(cfg, mesh, sp_mode="ring")
+    out = sp_forward(variables, batch, noisy, t)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
