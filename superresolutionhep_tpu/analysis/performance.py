@@ -14,7 +14,7 @@ low = high / res_factor (performance/performance.py:14-18).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

@@ -17,7 +17,6 @@ All host-side code in this framework goes through :func:`read_tree` /
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Mapping, Sequence, Union
 
 import numpy as np

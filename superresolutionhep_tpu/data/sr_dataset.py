@@ -21,13 +21,12 @@ semantics but re-designed for TPU execution:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
 from ..transforms import TargetTransform, VarTransform, build_var_transforms
 from . import root_io
-from .jagged import JaggedArray
 
 CELL_VARS = ["cell_eta", "cell_phi", "cell_layer", "cell_e", "cell_x", "cell_y", "cell_z"]
 PART_VARS = [

@@ -21,7 +21,6 @@ shape (T, *y0.shape), with ``y[0] == y0`` (torchdiffeq convention).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

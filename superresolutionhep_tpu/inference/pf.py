@@ -12,7 +12,7 @@ cells (:178-207).
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

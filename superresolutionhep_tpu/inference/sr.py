@@ -19,14 +19,12 @@ Energies are written in MeV (x1e3) like the reference (:190-201).
 from __future__ import annotations
 
 import os
-import time
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-import yaml
 
 from ..config import load_yaml
 from ..data import root_io

@@ -16,9 +16,6 @@ real x pad gets +1e6 (forces real<->real matches first), pad x pad gets 0.
 from __future__ import annotations
 
 import itertools
-import math
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

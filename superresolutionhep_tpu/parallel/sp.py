@@ -17,9 +17,6 @@ Composes with data parallelism on a ('data', 'seq') mesh: batch sharded over
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

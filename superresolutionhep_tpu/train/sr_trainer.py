@@ -15,7 +15,6 @@ made real), donated arguments so params/opt state update in place in HBM.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import os
 import time
 from typing import Any, Dict, Optional
@@ -32,7 +31,7 @@ from ..flow.cfm import flow_matching_loss, sample_location_and_conditional_flow
 from ..flow.sampling import generate_samples
 from ..models.flow_model import FlowModel
 from ..models.init_policies import apply_init_policies
-from ..parallel.mesh import DATA_AXIS, data_sharding, make_mesh, replicate
+from ..parallel.mesh import data_sharding, make_mesh, replicate
 from ..transforms import TargetTransform
 from .checkpoint import CheckpointManager
 from .metrics import MetricsLogger
