@@ -156,6 +156,13 @@ def main():
     base = published.get("sr_inference_events_per_sec")
     vs = (events_per_sec / base) if base else None
 
+    # secondary metric: PF (stage-2) inference forward+matching throughput
+    pf_events_per_sec = None
+    try:
+        pf_events_per_sec = _pf_bench(jax, jnp, np, repo)
+    except Exception as e:  # secondary metric never blocks the headline
+        print(json.dumps({"pf_bench_error": str(e)[:200]}), file=sys.stderr)
+
     result = {
         "metric": f"sr_inference_events_per_sec_per_chip_nsteps{N_STEPS}_ens{N_ENSEMBLE}",
         "value": round(events_per_sec, 3),
@@ -175,11 +182,59 @@ def main():
                     "p50_event_latency_ms": round(1000.0 * dt / max(total_events, 1), 2),
                     "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
                     "per_batch": per_batch,
+                    "pf_inference_events_per_sec": pf_events_per_sec,
                 }
             }
         ),
         file=sys.stderr,
     )
+
+
+def _pf_bench(jax, jnp, np, repo, B=64, N=2048):
+    """Stage-2 throughput: SAPF forward + on-device Hungarian matching
+    (the PF inference hot path) on multipart-scale cell sets."""
+    import time
+
+    import yaml
+
+    from superresolutionhep_tpu.losses.set2set import set_to_set_incidence_loss
+    from superresolutionhep_tpu.models.pf.model_pf import SAPF
+    from superresolutionhep_tpu.transforms import build_var_transforms
+
+    with open(os.path.join(repo, "configs", "pflow", "model_and_var.yml")) as fp:
+        cfg = yaml.safe_load(fp)
+    P = int(cfg["pf_model"]["max_particles"])
+    rng = np.random.default_rng(0)
+    z = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))  # noqa: E731
+    batch = {
+        "cell_e": z(B, N), "cell_eta": z(B, N), "cell_phi": z(B, N),
+        "cell_cosphi": z(B, N), "cell_sinphi": z(B, N),
+        "cell_e_raw": jnp.abs(z(B, N)) * 20, "cell_eta_raw": z(B, N),
+        "cell_layer": jnp.asarray(rng.integers(0, 3, (B, N)).astype(np.int32)),
+        "cell_mask": jnp.ones((B, N), bool),
+        "part_pt": z(B, P), "part_eta": z(B, P), "part_phi": z(B, P),
+        "part_dep_e": z(B, P), "part_mask": jnp.ones((B, P), bool),
+        "incidence_matrix": jnp.abs(z(B, N, P)),
+    }
+    model = SAPF(config_pf=cfg["pf_model"], transforms=build_var_transforms(cfg["var_transform"]), inference=True)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+
+    @jax.jit
+    def fwd(v, b):
+        logits, kin, inc = model.apply(v, b)
+        _, _, assign = set_to_set_incidence_loss(inc, b, kin)
+        return jnp.argmax(logits, -1), kin, assign
+
+    def sync(o):
+        return float(jnp.sum(o[0].astype(jnp.float32)))
+
+    sync(fwd(variables, batch))
+    t0 = time.time()
+    n_rep = 10
+    outs = [fwd(variables, batch) for _ in range(n_rep)]
+    sync(outs[-1])
+    dt = (time.time() - t0) / n_rep
+    return round(B / dt, 1)
 
 
 if __name__ == "__main__":
