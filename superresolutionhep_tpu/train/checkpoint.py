@@ -43,6 +43,14 @@ class CheckpointManager:
             os.path.join(self.directory, "last"),
             options=ocp.CheckpointManagerOptions(max_to_keep=1, create=True),
         )
+        self._history: dict = {}
+        meta_path = os.path.join(self.directory, "best_meta.json")
+        if os.path.exists(meta_path):
+            try:
+                with open(meta_path) as fp:
+                    self._history = {int(k): v for k, v in json.load(fp).get("history", {}).items()}
+            except Exception:
+                pass
         if configs is not None:
             with open(os.path.join(self.directory, "configs.json"), "w") as fp:
                 json.dump(configs, fp, indent=2, default=str)
@@ -51,6 +59,12 @@ class CheckpointManager:
         metrics = {k: float(v) for k, v in metrics.items() if isinstance(v, (int, float))}
         self._best.save(step, args=ocp.args.StandardSave(state), metrics=metrics)
         self._last.save(step, args=ocp.args.StandardSave(state))
+        # marker so path-based loading (load_params) can identify the true
+        # best step without reconstructing the manager's best_fn
+        self._history[step] = metrics.get(self.monitor, float("inf"))
+        best_step = min(self._history, key=self._history.get)
+        with open(os.path.join(self.directory, "best_meta.json"), "w") as fp:
+            json.dump({"monitor": self.monitor, "best_step": best_step, "history": self._history}, fp)
 
     def wait(self):
         self._best.wait_until_finished()
@@ -113,6 +127,16 @@ def load_params(path: str) -> Any:
             steps = sorted(
                 int(d) for d in os.listdir(root) if d.isdigit() and os.path.isdir(os.path.join(root, d))
             )
+            if which == "best":
+                # prefer the recorded metric-best step over the latest kept one
+                meta_path = os.path.join(os.path.dirname(root), "best_meta.json")
+                try:
+                    with open(meta_path) as fp:
+                        bs = int(json.load(fp)["best_step"])
+                    if bs in steps:
+                        steps = [s for s in steps if s != bs] + [bs]
+                except Exception:
+                    pass
             for step in reversed(steps):
                 for cand in (
                     os.path.join(root, str(step), "default"),

@@ -236,15 +236,24 @@ class PFTrainer:
         eval_every = int(ct.get("eval_every_n_epoch", 1))
         cache: Dict[int, dict] = {}
 
+        num_workers = int(ct.get("num_workers", 2))
+
+        def prepare(item):
+            idxs, bucket = item
+            events = [
+                (cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None) for i in idxs
+            ]
+            return collate_pf(events, bucket.pad_n, self.max_part)
+
+        from ..data.prefetch import BatchPrefetcher
+
         for epoch in range(self.state.epoch, num_epochs):
             lr = jnp.asarray(self.lr_fn(epoch), jnp.float32)
             t0 = time.time()
             sums, n_b = {}, 0
-            for idxs, bucket in self._batcher(train_ds, "train", seed=epoch):
-                events = [
-                    (cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None) for i in idxs
-                ]
-                hb = collate_pf(events, bucket.pad_n, self.max_part)
+            for hb in BatchPrefetcher(
+                self._batcher(train_ds, "train", seed=epoch), prepare, num_workers=num_workers
+            ):
                 batch = self._device_batch(hb)
                 self.rng, srng = jax.random.split(self.rng)
                 self.state.params, self.state.opt_state, logs = self._train_step(

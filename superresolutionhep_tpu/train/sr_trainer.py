@@ -231,16 +231,28 @@ class SRTrainer:
         eval_every = int(ct.get("eval_every_n_epoch", 1))
         train_cache: Dict[int, Any] = {}
 
+        num_workers = int(ct.get("num_workers", 2))
+
+        def prepare(item):
+            """Host-side batch prep — runs in the prefetch thread pool
+            (the reference's DataLoader workers, lightning.py:71-75)."""
+            idxs, bucket = item
+            events = [
+                (train_cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None)
+                for i in idxs
+            ]
+            return collate(events, bucket.pad_n)
+
+        from ..data.prefetch import BatchPrefetcher
+
         for epoch in range(self.state.epoch, num_epochs):
             lr = jnp.asarray(self.lr_fn(epoch), jnp.float32)
             t_ep = time.time()
             ep_stats, n_batches = {}, 0
-            for idxs, bucket in self._batcher(train_ds, "train", seed=epoch):
-                events = [
-                    (train_cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None)
-                    for i in idxs
-                ]
-                hb = collate(events, bucket.pad_n)
+            batches = BatchPrefetcher(
+                self._batcher(train_ds, "train", seed=epoch), prepare, num_workers=num_workers
+            )
+            for hb in batches:
                 batch = self._device_batch(hb)
                 self.rng, step_rng = jax.random.split(self.rng)
                 self.state.params, self.state.opt_state, stats = self._train_step(

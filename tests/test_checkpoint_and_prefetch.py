@@ -1,0 +1,51 @@
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from superresolutionhep_tpu.data.prefetch import BatchPrefetcher
+from superresolutionhep_tpu.train.checkpoint import CheckpointManager, load_params
+
+
+def test_prefetcher_order_and_overlap():
+    done = []
+
+    def prepare(i):
+        time.sleep(0.01 * (5 - i))  # later items finish first in the pool
+        done.append(i)
+        return i * 10
+
+    out = list(BatchPrefetcher(range(5), prepare, num_workers=4))
+    assert out == [0, 10, 20, 30, 40]  # in-order delivery regardless of completion order
+
+
+def test_prefetcher_propagates_errors():
+    def prepare(i):
+        if i == 2:
+            raise ValueError("boom")
+        return i
+
+    with pytest.raises(ValueError, match="boom"):
+        list(BatchPrefetcher(range(4), prepare, num_workers=2))
+
+
+def test_checkpoint_best_selection_and_load_params(tmp_path):
+    mgr = CheckpointManager(str(tmp_path / "ck"), monitor="val/loss_raw", max_to_keep=2)
+    state = {"params": {"w": jnp.arange(4.0)}}
+    for step, metric in enumerate([5.0, 2.0, 3.0, 9.0]):
+        state = {"params": {"w": jnp.arange(4.0) + step}}
+        mgr.save(step, state, {"val/loss_raw": metric})
+    mgr.wait()
+    assert mgr.best_step() == 1  # min val/loss_raw
+    assert mgr.latest_step() == 3
+
+    best = mgr.restore({"params": {"w": jnp.zeros(4)}}, which="best")
+    np.testing.assert_allclose(np.asarray(best["params"]["w"]), np.arange(4.0) + 1)
+    mgr.close()
+
+    # flexible resolution: manager root / best / last
+    out = load_params(str(tmp_path / "ck"))
+    np.testing.assert_allclose(np.asarray(out["params"]["w"]), np.arange(4.0) + 1)
+    out_last = load_params(str(tmp_path / "ck" / "last"))
+    np.testing.assert_allclose(np.asarray(out_last["params"]["w"]), np.arange(4.0) + 3)
