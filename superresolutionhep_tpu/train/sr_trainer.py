@@ -116,7 +116,13 @@ class SRTrainer:
             optax.add_decayed_weights(float(self.config_t.get("weight_decay", 0.01))),
             optax.scale(-1.0),
         ]
-        return optax.chain(*chain)
+        tx = optax.chain(*chain)
+        # gradient accumulation (the reference's latent effective_batch_size
+        # knob, configs/single_e/train.yml): one optimizer step per N batches
+        accum = int(self.config_t.get("grad_accum_steps", 0) or 0)
+        if accum > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        return tx
 
     # ------------------------------------------------------------------
     def _loss_fn(self, params, batch, rng):
