@@ -42,6 +42,9 @@ class GeneratorConfig:
     shower_sigma_cells: float = 1.5  # lateral shower width in LR-cell units
     window_lr_cells: int = 4  # half-window of LR cells kept around each shower
     noise_frac: float = 0.02
+    # fraction of each LR cell's energy split stochastically (dirichlet)
+    # instead of by the deterministic shower profile; 0 = fully learnable
+    split_noise: float = 0.2
     electron_fraction: float = 0.5
     single_electron: bool = False
 
@@ -116,14 +119,32 @@ def generate_events(n_events: int, seed: int = 0, config: GeneratorConfig | None
 
             r = LAYER_RADII[layer]
             for (ce, cp) in keys:
-                per_part = active[(ce, cp)]
-                e_lr_true = per_part.sum()
                 eta_c = ETA_RANGE[0] + (ce + 0.5) * d_eta_lr
                 phi_c = -np.pi + (cp + 0.5) * d_phi_lr
 
-                # HR children: split the LR cell rf x rf, with an asymmetric
-                # split so super-resolution has something to learn
-                hr_split = rng.dirichlet(np.ones(rf * rf) * 2.0)
+                # HR truth: evaluate each particle's shower at the HR subcell
+                # centers (geometry-determined, so super-resolution is
+                # *learnable*); optional dirichlet jitter adds an irreducible
+                # stochastic component (split_noise in [0,1])
+                hr_pp = np.zeros((rf * rf, n_part))
+                for k in range(rf * rf):
+                    de, dp = divmod(k, rf)
+                    eta_h = ETA_RANGE[0] + (ce * rf + de + 0.5) * d_eta_lr / rf
+                    phi_h = -np.pi + (cp * rf + dp + 0.5) * d_phi_lr / rf
+                    for pi in range(n_part):
+                        d2 = ((eta_h - p_eta[pi]) / d_eta_lr) ** 2 + (
+                            ((phi_h - p_phi[pi] + np.pi) % (2 * np.pi) - np.pi) / d_phi_lr
+                        ) ** 2
+                        hr_pp[k, pi] = np.exp(-d2 / (2 * cfg.shower_sigma_cells**2))
+                col = hr_pp.sum(axis=0)
+                col[col == 0] = 1.0
+                # normalise so HR children sum to the LR-cell shower amplitude
+                hr_pp = hr_pp / col[None, :] * active[(ce, cp)][None, :]
+                if cfg.split_noise > 0:
+                    jit = rng.dirichlet(np.ones(rf * rf) * 2.0)[:, None]
+                    hr_pp = (1 - cfg.split_noise) * hr_pp + cfg.split_noise * jit * active[(ce, cp)][None, :]
+
+                e_lr_true = float(hr_pp.sum())
                 noise_lr = 1.0 + cfg.noise_frac * rng.normal()
                 ev_low["cell_eta"].append(eta_c)
                 ev_low["cell_phi"].append(phi_c)
@@ -141,12 +162,12 @@ def generate_events(n_events: int, seed: int = 0, config: GeneratorConfig | None
                     ev_high["cell_eta"].append(eta_h)
                     ev_high["cell_phi"].append(phi_h)
                     ev_high["cell_layer"].append(layer)
-                    ev_high["cell_e"].append(max(e_lr_true * hr_split[k], 1e-4))
+                    ev_high["cell_e"].append(max(float(hr_pp[k].sum()), 1e-4))
                     theta_h = 2 * np.arctan(np.exp(-eta_h))
                     ev_high["cell_x"].append(r * np.cos(phi_h))
                     ev_high["cell_y"].append(r * np.sin(phi_h))
                     ev_high["cell_z"].append(r / np.tan(theta_h))
-                    hr_owner_energy.append(per_part * hr_split[k])
+                    hr_owner_energy.append(hr_pp[k].copy())
                 low_count += 1
 
         n_high = len(ev_high["cell_eta"])
