@@ -193,3 +193,40 @@ def test_pf_training_epoch(sr_pred_files, tmp_path):
     assert "val_loss_to_optimize_on" in rec
     assert np.isfinite(rec["train/loss"])
     assert "val/card_accuracy" in rec
+
+
+def test_pf_training_kinematics_loss_variant(sr_pred_files, tmp_path):
+    """The non-incidence set-to-set loss path (loss_on_inc_wts: false) with
+    the reference's component weights (pflow/configs/train.yml comments)."""
+    glob_arg, _ = sr_pred_files
+    cfg_mv = pf_config_mv()
+    cfg_t = {
+        "num_epochs": 1,
+        "eval_every_n_epoch": 1,
+        "batch_size_train": 4,
+        "batch_size_val": 4,
+        "bucket_quantum": 64,
+        "learningrate": 1.0e-3,
+        "lr_scheduler": None,
+        "energy_threshold": 1.0,
+        "resolution": "low",
+        "loss_on_inc_wts": False,
+        "card_loss_weight": 0.5,
+        "pt_loss_wt": 0.0,
+        "eta_loss_wt": 500.0,
+        "phi_loss_wt": 5.0,
+        "e_loss_wt": 1.0,
+        "train_glob_arg": glob_arg,
+        "val_glob_arg": glob_arg,
+        "reduce_ds_train": -1,
+        "reduce_ds_val": -1,
+        "epoch_end_plots": False,
+    }
+    trainer = PFTrainer(cfg_mv, cfg_t, run_dir=str(tmp_path / "pf_kin"), seed=0)
+    state = trainer.fit()
+    assert state.epoch == 1
+    import json
+
+    rec = [json.loads(l) for l in open(tmp_path / "pf_kin" / "metrics.jsonl")][-1]
+    assert "train/kin_loss" in rec and np.isfinite(rec["train/kin_loss"])
+    assert "train/eta_loss" in rec
