@@ -161,3 +161,16 @@ def test_pf_performance_joined(sr_pred_files, pf_pred_files, tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_additional_plot_variants(sr_pred_files, tmp_path):
+    _, paths = sr_pred_files
+    perf = PerformanceCOCOA(paths[0], res_factor=2)
+    perf.plot_residual_cell_for_one_event(0, dir=str(tmp_path))
+    perf.plot_evolution_raw_nn_dist(dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "residual_cell_ev0.png")
+    assert os.path.exists(tmp_path / "evolution_nn_dist.png")
+    assert perf.check_binning(0) in (True, False)  # binning self-check runs
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
