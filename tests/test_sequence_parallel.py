@@ -67,3 +67,16 @@ def test_ring_attention_matches_single_device(setup):
     _, sp_forward = make_sp_forward(cfg, mesh, sp_mode="ring")
     out = sp_forward(variables, batch, noisy, t)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
+
+
+def test_host_entry_range_partition():
+    from superresolutionhep_tpu.parallel.distributed import host_entry_range
+
+    ranges = [host_entry_range(103, pid, 8) for pid in range(8)]
+    assert ranges[0][0] == 0 and ranges[-1][1] == 103
+    covered = []
+    for a, b in ranges:
+        covered.extend(range(a, b))
+    assert covered == list(range(103))
+    sizes = [b - a for a, b in ranges]
+    assert max(sizes) - min(sizes) <= 1
