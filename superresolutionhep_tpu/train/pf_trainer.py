@@ -237,12 +237,16 @@ class PFTrainer:
         cache: Dict[int, dict] = {}
 
         num_workers = int(ct.get("num_workers", 2))
+        cache_events = bool(ct.get("cache_events", True))
 
         def prepare(item):
             idxs, bucket = item
-            events = [
-                (cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None) for i in idxs
-            ]
+            if cache_events:
+                events = [
+                    (cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None) for i in idxs
+                ]
+            else:
+                events = [train_ds.get_event(i) if i >= 0 else None for i in idxs]
             return collate_pf(events, bucket.pad_n, self.max_part)
 
         from ..data.prefetch import BatchPrefetcher

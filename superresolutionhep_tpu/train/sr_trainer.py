@@ -238,15 +238,21 @@ class SRTrainer:
         train_cache: Dict[int, Any] = {}
 
         num_workers = int(ct.get("num_workers", 2))
+        # preprocessed-event cache trades host RAM for per-epoch CPU; disable
+        # for datasets that don't fit (e.g. the 250k-event multipart set)
+        cache_events = bool(ct.get("cache_events", True))
 
         def prepare(item):
             """Host-side batch prep — runs in the prefetch thread pool
             (the reference's DataLoader workers, lightning.py:71-75)."""
             idxs, bucket = item
-            events = [
-                (train_cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None)
-                for i in idxs
-            ]
+            if cache_events:
+                events = [
+                    (train_cache.setdefault(i, train_ds.get_event(i)) if i >= 0 else None)
+                    for i in idxs
+                ]
+            else:
+                events = [train_ds.get_event(i) if i >= 0 else None for i in idxs]
             return collate(events, bucket.pad_n)
 
         from ..data.prefetch import BatchPrefetcher
