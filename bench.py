@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 N_STEPS = 25
 N_ENSEMBLE = 10
 N_EVENTS = 32
-METHOD = "midpoint"
+METHOD = "ab2"  # 2nd-order multistep: 1 model eval per step (see flow/ode.py)
 
 
 def main():
@@ -119,6 +119,9 @@ def main():
     host_prep_s = time.time() - t_prep0
 
     # warmup/compile per bucket shape
+    def sync(x):
+        return float(jnp.sum(x.astype(jnp.float32)))  # axon: block_until_ready is a no-op
+
     key = jax.random.PRNGKey(1)
     seen_shapes = set()
     for mb, _ in batches:
@@ -127,12 +130,13 @@ def main():
             continue
         seen_shapes.add(shape)
         tc = time.time()
-        jitted(mb, key).block_until_ready()
+        sync(jitted(mb, key))
+        # second warm run: first execution after (cached) compile can pay a
+        # one-time load/installation stall on axon
+        sync(jitted(mb, key))
         print(f"compiled {shape}: {time.time()-tc:.1f}s", file=sys.stderr)
 
     # timed pass
-    def sync(x):
-        return float(jnp.sum(x.astype(jnp.float32)))  # axon: block_until_ready is a no-op
 
     per_batch = []
     t0 = time.time()

@@ -64,6 +64,66 @@ FIXED_STEP_METHODS = {
     "rk4": _rk4_step,
 }
 
+# multistep methods reuse previous evaluations (1 f-eval per step at 2nd
+# order — half the cost of midpoint/heun); handled by odeint_ab2
+MULTISTEP_METHODS = ("ab2",)
+
+
+def odeint_ab2(f: Callable, y0, ts, store_idx=None):
+    """Adams-Bashforth-2 over the grid: Heun bootstrap on the first interval,
+    then x_{n+1} = x_n + h[(1 + r) f_n - r f_{n-1}], r = h / (2 h_prev) —
+    one vector-field evaluation per step with 2nd-order accuracy (the
+    training-free fast-solver direction for flow ODEs; see PAPERS.md).
+
+    Returns the full trajectory (T, *y) when store_idx is None, else the
+    states at the (sorted, static) ``store_idx`` grid positions, collected in
+    an O(S) carry buffer instead of an O(T) trajectory.
+    """
+    ts = jnp.asarray(ts)
+    T = ts.shape[0]
+    store = sorted(set(int(i) for i in store_idx)) if store_idx is not None else None
+
+    t0, t1 = ts[0], ts[1]
+    h0 = t1 - t0
+    f0 = f(t0, y0)
+    y1 = y0 + (h0 / 2) * (f0 + f(t1, y0 + h0 * f0))  # Heun bootstrap
+
+    if store is not None:
+        buf = jnp.stack([y0] * len(store))
+        for s_i, pos in enumerate(store):
+            if pos == 0:
+                buf = buf.at[s_i].set(y0)
+            elif pos == 1:
+                buf = buf.at[s_i].set(y1)
+
+        def body(carry, inp):
+            y, f_prev, h_prev, n, buf = carry
+            t_n, t_np1 = inp
+            f_n = f(t_n, y)
+            h = t_np1 - t_n
+            r = h / (2 * h_prev)
+            y_new = y + h * ((1 + r) * f_n - r * f_prev)
+            for s_i, pos in enumerate(store):
+                if pos >= 2:
+                    buf = buf.at[s_i].set(jnp.where(n == pos, y_new, buf[s_i]))
+            return (y_new, f_n, h, n + 1, buf), None
+
+        init = (y1, f0, h0, jnp.array(2, jnp.int32), buf)
+        (_, _, _, _, buf), _ = lax.scan(body, init, (ts[1:-1], ts[2:]))
+        return buf
+
+    def body(carry, inp):
+        y, f_prev, h_prev = carry
+        t_n, t_np1 = inp
+        f_n = f(t_n, y)
+        h = t_np1 - t_n
+        r = h / (2 * h_prev)
+        y_new = y + h * ((1 + r) * f_n - r * f_prev)
+        return (y_new, f_n, h), y_new
+
+    (_, _, _), ys = lax.scan(body, (y1, f0, h0), (ts[1:-1], ts[2:]))
+    return jnp.concatenate([y0[None], y1[None], ys], axis=0)
+
 
 def odeint_fixed(f: Callable, y0, ts, method: str = "midpoint"):
     """Integrate with one fixed step per grid interval via ``lax.scan``."""
@@ -259,6 +319,8 @@ def odeint_dopri5(
 def odeint(f, y0, ts, method: str = "dopri5", rtol: float = 1e-4, atol: float = 1e-4):
     if method in FIXED_STEP_METHODS:
         return odeint_fixed(f, y0, ts, method)
+    if method == "ab2":
+        return odeint_ab2(f, y0, ts)
     if method == "dopri5":
         return odeint_dopri5(f, y0, ts, rtol=rtol, atol=atol)
     raise ValueError(f"unknown ODE method {method!r}")

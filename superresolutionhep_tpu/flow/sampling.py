@@ -17,7 +17,7 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from .ode import FIXED_STEP_METHODS, odeint, odeint_fixed_store
+from .ode import FIXED_STEP_METHODS, odeint, odeint_ab2, odeint_fixed_store
 
 
 def generate_samples(
@@ -46,6 +46,8 @@ def generate_samples(
         t_vec = jnp.full((x.shape[0],), t, x.dtype)
         return apply_fn(variables, batch, x, t_vec)
 
+    if store_indices is not None and method == "ab2":
+        return odeint_ab2(vector_field, x0, ts, store_idx=store_indices)
     if store_indices is not None and method in FIXED_STEP_METHODS:
         return odeint_fixed_store(vector_field, x0, ts, store_indices, method)
 

@@ -71,9 +71,13 @@ class SRInference:
     # ------------------------------------------------------------------
     def _gen(self, batch, key, n_ensemble: int, n_steps: int, method: str):
         apply_fn = lambda v, b, x, t: self.model.apply(v, b, x, t)  # noqa: E731
-        from ..flow.ode import FIXED_STEP_METHODS
+        from ..flow.ode import FIXED_STEP_METHODS, MULTISTEP_METHODS
 
-        store = self.store_set if method in FIXED_STEP_METHODS else None
+        store = (
+            self.store_set
+            if (method in FIXED_STEP_METHODS or method in MULTISTEP_METHODS)
+            else None
+        )
         out = generate_ensemble(
             apply_fn,
             {"params": self.params},

@@ -63,3 +63,23 @@ def test_ensemble_mean_variance_shrinks():
     # members differ (independent noise draws)
     spread = np.asarray(ens).std(axis=0)[np.asarray(batch["q_mask"])]
     assert spread.mean() > 1e-4
+
+
+def test_ab2_matches_dopri5_and_store():
+    apply_fn, variables, batch = _setup()
+    key = jax.random.PRNGKey(4)
+    ref = generate_samples(apply_fn, variables, batch, key, n_steps=25, method="dopri5")
+    ab2 = generate_samples(apply_fn, variables, batch, key, n_steps=25, method="ab2")
+    m = np.asarray(batch["q_mask"])
+    diff = np.abs(np.asarray(ab2) - np.asarray(ref))[..., 0][m]
+    scale = np.abs(np.asarray(ref))[..., 0][m].mean() + 1e-3
+    assert diff.max() / scale < 0.05, diff.max()
+
+    full = generate_samples(apply_fn, variables, batch, key, n_steps=9, method="ab2", ret_seq=True)
+    stored = generate_samples(
+        apply_fn, variables, batch, key, n_steps=9, method="ab2", store_indices=[0, 1, 4, 8]
+    )
+    for s_i, pos in enumerate([0, 1, 4, 8]):
+        np.testing.assert_allclose(
+            np.asarray(stored[s_i]), np.asarray(full[pos]), rtol=1e-5, atol=1e-6
+        )
