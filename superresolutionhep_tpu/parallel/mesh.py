@@ -50,6 +50,3 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = DATA_AXIS):
 
     return {k: put(v) for k, v in batch.items()}
 
-
-def pad_to_multiple(n: int, m: int) -> int:
-    return ((n + m - 1) // m) * m
