@@ -167,6 +167,13 @@ def main():
     except Exception as e:  # secondary metric never blocks the headline
         print(json.dumps({"pf_bench_error": str(e)[:200]}), file=sys.stderr)
 
+    # secondary metric: SR training step throughput at multipart scale
+    train_metrics = None
+    try:
+        train_metrics = _train_bench(jax, jnp, np, config_mv)
+    except Exception as e:
+        print(json.dumps({"train_bench_error": str(e)[:200]}), file=sys.stderr)
+
     result = {
         "metric": f"sr_inference_events_per_sec_per_chip_nsteps{N_STEPS}_ens{N_ENSEMBLE}",
         "value": round(events_per_sec, 3),
@@ -187,11 +194,59 @@ def main():
                     "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
                     "per_batch": per_batch,
                     "pf_inference_events_per_sec": pf_events_per_sec,
+                    "sr_train": train_metrics,
                 }
             }
         ),
         file=sys.stderr,
     )
+
+
+def _train_bench(jax, jnp, np, config_mv, B=8, N=2048, n_rep=8):
+    """SR training-step throughput (fwd+bwd+AdamW) at multipart scale,
+    bf16 compute with per-layer rematerialisation."""
+    import tempfile
+    import time
+
+    from superresolutionhep_tpu.train.sr_trainer import SRTrainer
+
+    cfg_t = {
+        "num_epochs": 1, "learningrate": 1e-3, "lr_scheduler": None,
+        "remat": True, "bucket_quantum": N,
+    }
+    with tempfile.TemporaryDirectory() as td:
+        trainer = SRTrainer(config_mv, cfg_t, run_dir=td, dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        host = {
+            "eta": rng.normal(size=(B, N, 1)).astype(np.float32),
+            "cosphi": rng.normal(size=(B, N, 1)).astype(np.float32),
+            "sinphi": rng.normal(size=(B, N, 1)).astype(np.float32),
+            "layer": rng.integers(0, 3, size=(B, N, 1)).astype(np.int32),
+            "e_proxy": rng.normal(size=(B, N, 1)).astype(np.float32),
+            "q_mask": np.ones((B, N), bool),
+            "target": rng.normal(size=(B, N, 1)).astype(np.float32),
+        }
+        batch = trainer._device_batch(host)
+        lr = jnp.asarray(1e-3, jnp.float32)
+        p, o = trainer.state.params, trainer.state.opt_state
+
+        def sync(stats):
+            return float(stats["loss"])
+
+        key = jax.random.PRNGKey(0)
+        for _ in range(2):  # compile + first-exec stall
+            p, o, stats = trainer._train_step(p, o, batch, key, lr)
+            sync(stats)
+        t0 = time.time()
+        for i in range(n_rep):
+            p, o, stats = trainer._train_step(p, o, batch, jax.random.fold_in(key, i), lr)
+        sync(stats)
+        dt = (time.time() - t0) / n_rep
+        return {
+            "steps_per_sec": round(1.0 / dt, 2),
+            "events_per_sec": round(B / dt, 1),
+            "batch": [B, N],
+        }
 
 
 def _pf_bench(jax, jnp, np, repo, B=64, N=2048):
