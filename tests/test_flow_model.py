@@ -153,3 +153,19 @@ def test_flow_model_jit_and_grad():
     g = jax.jit(jax.grad(loss_fn))(variables["params"])
     flat, _ = jax.tree_util.tree_flatten(g)
     assert all(np.all(np.isfinite(np.asarray(x))) for x in flat)
+
+
+def test_param_summary():
+    from superresolutionhep_tpu.models.summary import param_count, param_summary
+
+    cfg = small_flow_config()
+    model = FlowModel(config=cfg, attn_impl="xla")
+    batch = make_batch()
+    variables = model.init(
+        jax.random.PRNGKey(0), batch, jnp.zeros((3, 12, 1)), jnp.full((3,), 0.5)
+    )
+    summ = param_summary(variables["params"])
+    assert "transformer" in summ and "v_t_pred_net" in summ
+    assert "weight" in summ["transformer"] and "std" in summ["transformer"]["weight"]
+    assert summ["transformer"]["weight"]["std"] > 0
+    assert param_count(variables["params"]) > 1000
