@@ -23,6 +23,8 @@ class PFEncoder(nn.Module):
     config_pf: dict
     dtype: Any = None
     attn_impl: str = "auto"
+    sp_axis: str = None
+    sp_mode: str = "gather"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -48,7 +50,7 @@ class PFEncoder(nn.Module):
         x = nn.leaky_relu(x, negative_slope=0.01)
         x = nn.Dense(h_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="cell_init_1")(x)
 
-        global_feat = masked_mean(x, cell_mask, axis=1)
+        global_feat = masked_mean(x, cell_mask, axis=1, psum_axis=self.sp_axis)
 
         tcfg = enc_cfg["transformer"]
         feat = DiTEncoder(
@@ -58,6 +60,8 @@ class PFEncoder(nn.Module):
             dense_config=dict(tcfg["dense_config"]),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            sp_axis=self.sp_axis,
+            sp_mode=self.sp_mode,
             name="transformer",
         )(x, q_valid=cell_mask, context=global_feat, deterministic=deterministic)
         return feat

@@ -31,6 +31,9 @@ class AttnKinematicNet(nn.Module):
     h_dim: int
     transforms: Optional[Mapping[str, VarTransform]] = None
     dtype: Any = None
+    # sequence-parallel axis: cells sharded; per-particle sums over cells
+    # psum-reduce so the kinematics come out replicated across shards
+    sp_axis: Optional[str] = None
 
     @nn.compact
     def __call__(self, q, k, part_valid, cell_valid, batch):
@@ -46,12 +49,19 @@ class AttnKinematicNet(nn.Module):
         inc_weights = masked_softmax(scores, mask, axis=1)
 
         e_raw_inc = inc_weights * batch["cell_e_raw"][:, None, :]  # (B, P, N)
-        row_sum = e_raw_inc.sum(axis=2, keepdims=True)
+
+        def cell_sum(x, keepdims=False):
+            out = x.sum(axis=-1, keepdims=keepdims)
+            if self.sp_axis is not None:
+                out = jax.lax.psum(out, self.sp_axis)
+            return out
+
+        row_sum = cell_sum(e_raw_inc, keepdims=True)
         inc = e_raw_inc / (row_sum + (row_sum == 0))  # per-particle cell shares
 
-        eta_pred_raw = (inc * batch["cell_eta_raw"][:, None, :]).sum(axis=-1)
-        phi_pred = (inc * batch["cell_phi"][:, None, :]).sum(axis=-1)
-        e_pred_raw = e_raw_inc.sum(axis=-1)
+        eta_pred_raw = cell_sum(inc * batch["cell_eta_raw"][:, None, :])
+        phi_pred = cell_sum(inc * batch["cell_phi"][:, None, :])
+        e_pred_raw = cell_sum(e_raw_inc)
         pt_pred_raw = e_pred_raw / jnp.cosh(eta_pred_raw)  # zero-mass
 
         tr = self.transforms
@@ -72,6 +82,8 @@ class KinematicsPredictor(nn.Module):
     transforms: Optional[Mapping[str, VarTransform]] = None
     dtype: Any = None
     attn_impl: str = "auto"
+    sp_axis: Optional[str] = None
+    sp_mode: str = "gather"
 
     @nn.compact
     def __call__(self, cell_feat, cell_mask, part_mask, batch, rng=None, deterministic=True):
@@ -98,7 +110,7 @@ class KinematicsPredictor(nn.Module):
         else:
             raise ValueError(f"unknown init_particles type {init_cfg['type']!r}")
 
-        cell_global = masked_mean(cell_feat, cell_mask, axis=1)
+        cell_global = masked_mean(cell_feat, cell_mask, axis=1, psum_axis=self.sp_axis)
 
         tcfg = kcfg["transformer"]
         part_feat = DiTEncoder(
@@ -108,6 +120,8 @@ class KinematicsPredictor(nn.Module):
             dense_config=dict(tcfg["dense_config"]),
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            sp_axis=self.sp_axis,
+            sp_mode=self.sp_mode,
             name="transformer",
         )(
             particle_emb,
@@ -120,7 +134,8 @@ class KinematicsPredictor(nn.Module):
 
         if kcfg.get("use_attn_kinematics", False):
             kin_net = AttnKinematicNet(
-                h_dim=h_dim, transforms=self.transforms, dtype=self.dtype, name="kin_net"
+                h_dim=h_dim, transforms=self.transforms, dtype=self.dtype,
+                sp_axis=self.sp_axis, name="kin_net"
             )
             return kin_net(part_feat, cell_feat, part_mask, cell_mask, batch)
 

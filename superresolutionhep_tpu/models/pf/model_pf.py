@@ -25,19 +25,22 @@ class SAPF(nn.Module):
     inference: bool = False
     dtype: Any = None
     attn_impl: str = "auto"
+    sp_axis: Optional[str] = None
+    sp_mode: str = "gather"
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True, rng=None):
         cfg = self.config_pf
-        encoded = PFEncoder(cfg, dtype=self.dtype, attn_impl=self.attn_impl, name="encoder")(
-            batch, deterministic=deterministic
-        )
+        encoded = PFEncoder(
+            cfg, dtype=self.dtype, attn_impl=self.attn_impl,
+            sp_axis=self.sp_axis, sp_mode=self.sp_mode, name="encoder",
+        )(batch, deterministic=deterministic)
 
         n_pred_logits = None
         if cfg.get("cardinality_predictor") is not None:
-            n_pred_logits = CardinalityPredictor(cfg, dtype=self.dtype, name="cardinality_predictor")(
-                encoded, batch["cell_mask"], deterministic=deterministic
-            )
+            n_pred_logits = CardinalityPredictor(
+                cfg, dtype=self.dtype, sp_axis=self.sp_axis, name="cardinality_predictor"
+            )(encoded, batch["cell_mask"], deterministic=deterministic)
 
         kin_pred = None
         inc_weights = None
@@ -54,6 +57,8 @@ class SAPF(nn.Module):
                 transforms=self.transforms,
                 dtype=self.dtype,
                 attn_impl=self.attn_impl,
+                sp_axis=self.sp_axis,
+                sp_mode=self.sp_mode,
                 name="kinematics_predictor",
             )(encoded, batch["cell_mask"], part_mask, batch, rng=rng, deterministic=deterministic)
 

@@ -113,3 +113,40 @@ def make_sp_train_step(flow_config: dict, tx, mesh: Mesh, sigma_min: float, dtyp
         return params, opt_state, loss
 
     return model_sp, step
+
+
+def make_pf_sp_forward(config_pf: dict, transforms, mesh: Mesh, dtype=None, sp_mode: str = "gather"):
+    """Stage-2 (SAPF) forward with cells sharded over ``seq``: cell features
+    and incidence weights stay sharded, pooled context / cardinality logits /
+    matched kinematics psum into replicated outputs."""
+    from ..models.pf.model_pf import SAPF
+
+    model_sp = SAPF(
+        config_pf=config_pf, transforms=transforms, sp_axis=SEQ, sp_mode=sp_mode, dtype=dtype
+    )
+
+    def local(variables, batch):
+        return model_sp.apply(variables, batch)
+
+    def specs(batch):
+        out = {}
+        for k, v in batch.items():
+            if k.startswith("cell_") or k == "incidence_matrix":
+                out[k] = P(DATA, SEQ, *([None] * (v.ndim - 2)))
+            elif v.ndim >= 2:
+                out[k] = P(DATA, *([None] * (v.ndim - 1)))
+            else:
+                out[k] = P(DATA)
+        return out
+
+    def forward(variables, batch):
+        fn = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), specs(batch)),
+            out_specs=(P(DATA), P(DATA), P(DATA, None, SEQ)),
+            check_vma=False,
+        )
+        return fn(variables, batch)
+
+    return model_sp, forward

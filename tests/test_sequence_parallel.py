@@ -80,3 +80,51 @@ def test_host_entry_range_partition():
     assert covered == list(range(103))
     sizes = [b - a for a, b in ranges]
     assert max(sizes) - min(sizes) <= 1
+
+
+def test_pf_sp_forward_matches_single_device():
+    from superresolutionhep_tpu.data.pf_dataset import collate_pf
+    from superresolutionhep_tpu.models.pf.model_pf import SAPF
+    from superresolutionhep_tpu.parallel.sp import make_pf_sp_forward
+    from superresolutionhep_tpu.transforms import build_var_transforms
+    from test_pf_pipeline import pf_config_mv
+
+    cfg = pf_config_mv()
+    rng = np.random.default_rng(11)
+    B, N, Pmax = 4, 32, 4
+    events = []
+    for i in range(B):
+        n = int(rng.integers(8, N + 1))
+        npart = int(rng.integers(1, Pmax + 1))
+        ev = {
+            "cell_e_raw": np.abs(rng.normal(20, 10, n)).astype(np.float32),
+            "cell_eta_raw": rng.uniform(-2, 2, n).astype(np.float32),
+            "cell_phi": rng.uniform(-3, 3, n).astype(np.float32),
+            "cell_layer": rng.integers(0, 3, n).astype(np.int32),
+            "n_particles": npart,
+            "part_phi": rng.uniform(-3, 3, Pmax).astype(np.float32),
+            "part_class": np.zeros(Pmax, np.int32),
+        }
+        ev["cell_cosphi"] = np.cos(ev["cell_phi"])
+        ev["cell_sinphi"] = np.sin(ev["cell_phi"])
+        ev["cell_e"] = (ev["cell_e_raw"] ** 0.5 - 7.35) / 15.65
+        ev["cell_eta"] = ev["cell_eta_raw"] / 2.988
+        for k in ["part_pt", "part_e", "part_eta", "part_dep_e",
+                  "part_pt_raw", "part_e_raw", "part_eta_raw", "part_dep_e_raw"]:
+            ev[k] = rng.normal(size=Pmax).astype(np.float32)
+        events.append(ev)
+    batch = {k: jnp.asarray(v) for k, v in collate_pf(events, N, Pmax).items() if k != "idx"}
+
+    transforms = build_var_transforms(cfg["var_transform"])
+    model = SAPF(config_pf=cfg["pf_model"], transforms=transforms, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    logits_ref, kin_ref, inc_ref = model.apply(variables, batch)
+
+    from superresolutionhep_tpu.parallel.sp import make_dp_sp_mesh
+
+    mesh = make_dp_sp_mesh(2, 4)
+    _, fwd = make_pf_sp_forward(cfg["pf_model"], transforms, mesh)
+    logits, kin, inc = fwd(variables, batch)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref), rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(kin), np.asarray(kin_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(inc_ref), rtol=2e-5, atol=2e-6)
