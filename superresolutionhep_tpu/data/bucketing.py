@@ -49,7 +49,9 @@ def make_buckets(
             bs = max(min_batch_size, min(max_batch_size, cost_budget // (pad_n * pad_n)))
         else:
             bs = max_batch_size
-        bs = int(np.ceil(bs / m)) * m
+        # round DOWN to the mesh multiple so batch * pad_n^2 never exceeds the
+        # memory budget; m is the floor when the budget allows fewer than m
+        bs = max(m, (int(bs) // m) * m)
         buckets.append(Bucket(pad_n=pad_n, batch_size=int(bs)))
     return buckets
 
@@ -94,7 +96,9 @@ class BucketBatcher:
             for s in range(0, len(idxs), bucket.batch_size):
                 chunk = idxs[s : s + bucket.batch_size]
                 if len(chunk) < bucket.batch_size:
-                    if self.drop_last and len(batches) > 0:
+                    # drop incomplete batches per bucket (matches __len__'s
+                    # cnt // batch_size accounting, not global batch order)
+                    if self.drop_last:
                         continue
                     chunk = np.concatenate(
                         [chunk, np.full(bucket.batch_size - len(chunk), -1, np.int64)]

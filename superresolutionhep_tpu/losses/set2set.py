@@ -80,6 +80,27 @@ def _gather_matched(cost_terms, assign):
     return cost_terms[jnp.arange(B)[:, None], rows, assign]
 
 
+def _event_weighted_mean(per_event, event_mask):
+    """Mean of a (B,) per-event vector over *real* events only.
+
+    ``event_mask=None`` keeps the plain batch mean.  Bucketed batches pad
+    partial batches with filler slots (all-masked events, data/bucketing.py);
+    the reference never sees fillers, so averaging over B would dilute the
+    loss (and its gradient scale) by the fill fraction."""
+    if event_mask is None:
+        return per_event.mean()
+    w = event_mask.astype(per_event.dtype)
+    return (per_event * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+def _event_weighted_mean2(per_slot, event_mask):
+    """Mean of a (B, P) per-slot tensor over real events' slots."""
+    if event_mask is None:
+        return per_slot.mean()
+    w = event_mask.astype(per_slot.dtype)[:, None]
+    return (per_slot * w).sum() / jnp.maximum(w.sum() * per_slot.shape[1], 1.0)
+
+
 # ---------------------------------------------------------------------------
 # kinematics variant (SetToSetLossKinematics, set_to_set_loss.py:72-146)
 # ---------------------------------------------------------------------------
@@ -118,10 +139,11 @@ def kinematics_pairwise_cost(kin_pred, batch, weights):
     return total, terms
 
 
-def set_to_set_kinematics_loss(kin_pred, batch, config):
+def set_to_set_kinematics_loss(kin_pred, batch, config, event_mask=None):
     """Returns (loss, components, assign) — assign (B,P) maps truth row ->
     matched prediction index (mirrors ``assgn_indices``,
-    set_to_set_loss.py:144-146)."""
+    set_to_set_loss.py:144-146).  ``event_mask`` (B,) restricts the batch
+    mean to real (non-filler) events."""
     weights = {
         k: float(config.get(k, 1.0))
         for k in ("pt_loss_wt", "eta_loss_wt", "phi_loss_wt", "e_loss_wt")
@@ -129,8 +151,11 @@ def set_to_set_kinematics_loss(kin_pred, batch, config):
     total, terms = kinematics_pairwise_cost(kin_pred, batch, weights)
     assign = hungarian(jax.lax.stop_gradient(total))
     matched = _gather_matched(total, assign)
-    loss = matched.mean(axis=1).mean(axis=0)
-    components = {k: _gather_matched(v, assign).mean() for k, v in terms.items()}
+    loss = _event_weighted_mean(matched.mean(axis=1), event_mask)
+    components = {
+        k: _event_weighted_mean2(_gather_matched(v, assign), event_mask)
+        for k, v in terms.items()
+    }
     return loss, components, assign
 
 
@@ -157,20 +182,22 @@ def incidence_pairwise_cost(inc_weights, batch):
     return kld * not_q4 + q2_q3_inf
 
 
-def set_to_set_incidence_loss(inc_weights, batch, kin_pred):
+def set_to_set_incidence_loss(inc_weights, batch, kin_pred, event_mask=None):
     """Returns (loss, components, assign). Kinematics components are computed
-    post-assignment for logging only (set_to_set_loss.py:188-201)."""
+    post-assignment for logging only (set_to_set_loss.py:188-201).
+    ``event_mask`` (B,) restricts batch means to real (non-filler) events."""
     pdist = incidence_pairwise_cost(inc_weights, batch)
     assign = hungarian(jax.lax.stop_gradient(pdist))
     matched = _gather_matched(pdist, assign)
-    loss = matched.mean(axis=1).mean(axis=0)
+    loss = _event_weighted_mean(matched.mean(axis=1), event_mask)
 
     B, P = assign.shape
+    wm = _event_weighted_mean2
     kin_reordered = kin_pred[jnp.arange(B)[:, None], assign, :]  # (B, P, 4)
-    pt_loss = ((kin_reordered[:, :, 0] - batch["part_pt"]) ** 2).mean()
-    eta_loss = ((kin_reordered[:, :, 1] - batch["part_eta"]) ** 2).mean()
-    phi_loss = (1.0 - jnp.cos(kin_reordered[:, :, 2] - batch["part_phi"])).mean()
-    e_loss = ((kin_reordered[:, :, 3] - batch["part_dep_e"]) ** 2).mean()
+    pt_loss = wm((kin_reordered[:, :, 0] - batch["part_pt"]) ** 2, event_mask)
+    eta_loss = wm((kin_reordered[:, :, 1] - batch["part_eta"]) ** 2, event_mask)
+    phi_loss = wm(1.0 - jnp.cos(kin_reordered[:, :, 2] - batch["part_phi"]), event_mask)
+    e_loss = wm((kin_reordered[:, :, 3] - batch["part_dep_e"]) ** 2, event_mask)
     components = {
         "pt_loss": pt_loss,
         "eta_loss": eta_loss,

@@ -1,28 +1,32 @@
-"""Pallas TPU blockwise masked flash attention.
+"""Pallas TPU blockwise masked flash attention (forward + backward).
 
 This is the hot kernel of both pipeline stages: masked self/cross attention
 over padded variable-length cell sets (up to ~3.5k cells/event in the
 multipart dataset).  The reference materialises the full (B,H,L,L) score
 tensor (models/attention.py:250-260); here the online-softmax blockwise
 formulation keeps O(BQ x BK) live in VMEM, streams K/V blocks through the
-grid, and never writes the score matrix to HBM.
+grid, and never writes the score matrix to HBM — in either direction:
+the backward pass is two Pallas kernels (dq; dk/dv) that recompute scores
+blockwise from the saved log-sum-exp, so training memory is O(L) too.
 
 Performance notes (TPU v5e):
-  * large blocks (default 1024x1024, swept empirically) so each grid step
-    feeds the MXU enough work — small blocks drown in per-step grid overhead;
+  * large forward blocks (default 1024x1024, swept empirically) so each grid
+    step feeds the MXU enough work; backward uses 512x512 (4 live (BQ,BK)
+    f32 temporaries per step);
   * fully-padded Q/K blocks skip all compute, so cost tracks the actual
     event length under bucketed padding;
-  * padding masks are carried as (B, 1, L) float32 so the mask block is
-    lane-major (last dim = BK), not a degenerate (BQ, 1) column;
-  * fp32 accumulation via preferred_element_type regardless of input dtype
-    (bf16 inputs hit the MXU natively).
+  * the softmax runs in base-2: the scale and log2(e) are folded into Q
+    *outside* the kernel (O(L*D) elementwise, XLA-fused into the projection)
+    so the kernel never multiplies the (BQ,BK) score tile by a scalar;
+  * the padding mask is applied as an *additive bias* built from the mask
+    row ((km-1)*BIG, O(BK) work) — one VPU add per score element instead of
+    compare+select;
+  * fp32 accumulation via preferred_element_type; bf16 inputs run the exp in
+    bf16 (packed VPU lanes).
 
 Supported fast path: padding masks only (no adjacency mask / edge bias /
 score dropout) — exactly the configuration every shipped config uses.  The
 general path stays on the XLA einsum implementation (attention.py).
-
-Differentiation: a custom VJP recomputes attention in einsum form for the
-backward pass, so the kernel is usable in training too.
 """
 
 from __future__ import annotations
@@ -37,9 +41,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+BIG = 1e30
 
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_K = 1024
+DEFAULT_BWD_BLOCK = 512
+
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 
 
 def _pick_block(n: int, preferred: int) -> Optional[int]:
@@ -57,25 +66,24 @@ def flash_shapes_ok(Lq: int, Lk: int, d: int) -> bool:
     )
 
 
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
 
 
-LOG2E = 1.4426950408889634
-
-
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, km_ref, qm_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, softmax_bf16
+    q_ref, k_ref, v_ref, km_ref, qm_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, softmax_bf16
 ):
     """Grid (B, H, nQ, nK) with nK innermost/sequential; online-softmax carry
     lives in VMEM scratch across the K-block sweep.
 
-    Variable-length sets: blocks whose K (or Q) slice is fully padded skip
-    all compute — with bucketed padding this makes cost track the *actual*
-    event length, not the pad length (the softmax VPU work is the kernel's
-    bottleneck at head_dim 64).  The softmax runs in base-2 (exp2 with
-    pre-scaled log2(e)) which lowers more cheaply on the VPU.
+    Q arrives pre-scaled by scale*log2(e), so scores are base-2 logits
+    straight off the MXU.  Emits the base-2 log-sum-exp per query row (in
+    (B, Lq, H) layout so backward blocks read it as a (BQ, 1) column).
     """
     j = pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -92,14 +100,14 @@ def _fwd_kernel(
 
     @pl.when(block_live)
     def _update():
-        q = q_ref[0, 0]  # (BQ, D)
+        q = q_ref[0, 0]  # (BQ, D) pre-scaled
         k = k_ref[0, 0]  # (BK, D)
         v = v_ref[0, 0]  # (BK, D)
 
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * (scale * LOG2E)  # base-2 scores
-        s = jnp.where(km > 0, s, NEG_INF)
+        )
+        s = s + (km - 1.0) * BIG  # additive padding bias: one VPU add/elt
 
         m_prev = m_scr[:]
         m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
@@ -120,22 +128,30 @@ def _fwd_kernel(
 
     @pl.when(j == n_k - 1)
     def _finalize():
-        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        l = l_scr[:]
+        out = acc_scr[:] / jnp.maximum(l, 1e-30)
         out = out * (jnp.transpose(qm) > 0)  # zero padded queries
         o_ref[0, 0] = out.astype(o_ref.dtype)
+        # base-2 LSE; NEG_INF rows (no valid key anywhere) stay hugely
+        # negative, and backward skips dead blocks before exponentiating
+        lse_ref[0, :, :] = m_scr[:] + jnp.log2(jnp.maximum(l, 1e-30))
 
 
-def _flash_fwd(q, k, v, qm, km, scale):
-    """q,k,v: (B,H,L,D); qm: (B,1,Lq) float; km: (B,1,Lk) float."""
+def _flash_fwd(q, k, v, qm, km):
+    """q (pre-scaled by scale*log2e), k, v: (B,H,L,D); qm: (B,1,Lq) float;
+    km: (B,1,Lk) float.  Returns (out, lse) with lse in (B, Lq, H) layout."""
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     BQ = _pick_block(Lq, DEFAULT_BLOCK_Q)
     BK = _pick_block(Lk, DEFAULT_BLOCK_K)
 
     grid = (B, H, Lq // BQ, Lk // BK)
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, softmax_bf16=q.dtype == jnp.bfloat16),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, softmax_bf16=q.dtype == jnp.bfloat16),
+        out_shape=(
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, Lq, H), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
@@ -144,8 +160,9 @@ def _flash_fwd(q, k, v, qm, km, scale):
             pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((BQ, 1), jnp.float32),
@@ -157,19 +174,217 @@ def _flash_fwd(q, k, v, qm, km, scale):
             bytes_accessed=4 * (q.size + k.size * (Lq // BQ) + v.size * (Lq // BQ) + q.size),
             transcendentals=B * H * Lq * Lk,
         ),
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(q, k, v, km, qm)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward kernels: blockwise recompute from LSE (O(L) memory)
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, dl_ref, km_ref, qm_ref, dq_ref, dq_scr, *, bf16
+):
+    """Grid (B, H, nQ, nK), K innermost; dq accumulates in VMEM scratch.
+
+    p is recomputed exactly as exp2(s - lse): one matmul + exp per block,
+    never materialising (Lq, Lk).  g must arrive pre-masked by qm.
+    """
+    j = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    km = km_ref[0]  # (1, BK)
+    qm = qm_ref[0]  # (1, BQ)
+    block_live = (jnp.sum(km) > 0) & (jnp.sum(qm) > 0)
+
+    @pl.when(block_live)
+    def _update():
+        q = q_ref[0, 0]  # (BQ, D) pre-scaled
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        g = g_ref[0, 0]  # (BQ, D), qm-masked
+        lse = lse_ref[0]  # (BQ, 1)
+        dl = dl_ref[0]  # (BQ, 1)  = sum_d(out * g)
+
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + (km - 1.0) * BIG
+        if bf16:
+            p = jnp.exp2((s - lse).astype(jnp.bfloat16)).astype(jnp.float32)
+        else:
+            p = jnp.exp2(s - lse)
+        dp = lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dl)
+        dq_scr[:] += lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, g_ref, lse_ref, dl_ref, km_ref, qm_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr, *, bf16,
+):
+    """Grid (B, H, nK, nQ), Q innermost; dk/dv accumulate in VMEM scratch.
+    Scores stay in (BQ, BK) orientation — the q-axis contractions
+    (p^T g, ds^T q) are expressed through dot_general dimension numbers, so
+    no VMEM transposes are needed."""
+    j = pl.program_id(3)
+    n_q = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    km = km_ref[0]  # (1, BK)
+    qm = qm_ref[0]  # (1, BQ)
+    block_live = (jnp.sum(km) > 0) & (jnp.sum(qm) > 0)
+
+    @pl.when(block_live)
+    def _update():
+        q = q_ref[0, 0]  # (BQ, D) pre-scaled
+        k = k_ref[0, 0]  # (BK, D)
+        v = v_ref[0, 0]
+        g = g_ref[0, 0]  # (BQ, D), qm-masked
+        lse = lse_ref[0]  # (BQ, 1)
+        dl = dl_ref[0]  # (BQ, 1)
+
+        s = lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) + (km - 1.0) * BIG
+        if bf16:
+            p = jnp.exp2((s - lse).astype(jnp.bfloat16)).astype(jnp.float32)
+        else:
+            p = jnp.exp2(s - lse)
+        # dv += p^T @ g : contract over the q axis (dim 0 of both)
+        dv_scr[:] += lax.dot_general(
+            p.astype(g.dtype), g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - dl)
+        # dk += ds^T @ q : contract over the q axis
+        dk_scr[:] += lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == n_q - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd(q, k, v, qm, km, out, lse, g):
+    """Blockwise backward. q is pre-scaled; returns (dq_pre, dk, dv) where
+    dq_pre is the gradient w.r.t. the *pre-scaled* q (the outer chain rule
+    through q*scale*log2e recovers d/dq)."""
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    BQ = _pick_block(Lq, DEFAULT_BWD_BLOCK)
+    BK = _pick_block(Lk, DEFAULT_BWD_BLOCK)
+    bf16 = q.dtype == jnp.bfloat16
+
+    # zero cotangents on padded queries; precompute dl = sum_d(out * g)
+    g = g * (jnp.swapaxes(qm, -1, -2)[:, None] > 0)
+    dl = jnp.transpose((out.astype(jnp.float32) * g.astype(jnp.float32)).sum(-1), (0, 2, 1))
+    # (B, Lq, H) like lse
+
+    qspec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM)
+    rowq = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM)
+    kmspec = pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM)
+    qmspec = pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, bf16=bf16),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        grid=(B, H, Lq // BQ, Lk // BK),
+        in_specs=[qspec, kspec, kspec, qspec, rowq, rowq, kmspec, qmspec],
+        out_specs=qspec,
+        scratch_shapes=[pltpu.VMEM((BQ, D), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * H * Lq * Lk * D,
+            bytes_accessed=4 * (2 * q.size + 2 * k.size * (Lq // BQ)),
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, g, lse, dl, km, qm)
+
+    # swap streaming dims: grid iterates (kv block, q block inner)
+    qspec2 = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
+    rowq2 = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, j, h), memory_space=pltpu.VMEM)
+    kmspec2 = pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM)
+    qmspec2 = pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, bf16=bf16),
+        out_shape=(
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        grid=(B, H, Lk // BK, Lq // BQ),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rowq2, rowq2, kmspec2, qmspec2],
+        out_specs=(kspec2, kspec2),
+        scratch_shapes=[
+            pltpu.VMEM((BK, D), jnp.float32),
+            pltpu.VMEM((BK, D), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * H * Lq * Lk * D,
+            bytes_accessed=4 * (2 * k.size + 2 * q.size * (Lk // BK)),
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=_interpret(),
+    )(q, k, v, g, lse, dl, km, qm)
+
+    # base-2 parametrization: d(exp2 logits)/d(logits) carries ln2
+    return (dq.astype(jnp.float32) * LN2).astype(q.dtype), (
+        dk.astype(jnp.float32) * LN2
+    ).astype(k.dtype), dv
+
+
+# ---------------------------------------------------------------------------
+# custom VJP around the pre-scaled-q kernels
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _flash_attention(q_pre, k, v, qm, km):
+    out, _ = _flash_fwd(q_pre, k, v, qm, km)
     return out
 
 
-# ---------------------------------------------------------------------------
-# custom VJP: einsum-form backward (recompute; O(L^2) flops, fused by XLA)
-# ---------------------------------------------------------------------------
+def _vjp_fwd(q_pre, k, v, qm, km):
+    out, lse = _flash_fwd(q_pre, k, v, qm, km)
+    return out, (q_pre, k, v, qm, km, out, lse)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def _flash_attention(q, k, v, qm, km, scale):
-    return _flash_fwd(q, k, v, qm, km, scale)
+def _vjp_bwd(res, g):
+    q_pre, k, v, qm, km, out, lse = res
+    dq_pre, dk, dv = _flash_bwd(q_pre, k, v, qm, km, out, lse, g)
+    return dq_pre, dk, dv, None, None
+
+
+_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# einsum reference (general-path fallback; also used by tests)
+# ---------------------------------------------------------------------------
 
 
 def _ref_attention(q, k, v, qm, km, scale):
@@ -183,27 +398,6 @@ def _ref_attention(q, k, v, qm, km, scale):
     out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
     out = out * (jnp.swapaxes(qm, -1, -2)[:, None] > 0)  # (B,1,Lq,1) query mask
     return out, p
-
-
-def _vjp_fwd(q, k, v, qm, km, scale):
-    return _flash_fwd(q, k, v, qm, km, scale), (q, k, v, qm, km)
-
-
-def _vjp_bwd(scale, res, g):
-    q, k, v, qm, km = res
-    out, p = _ref_attention(q, k, v, qm, km, scale)
-    g = g * (jnp.swapaxes(qm, -1, -2)[:, None] > 0)
-    gf = g.astype(jnp.float32)
-    pf = p.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", pf, gf)
-    dp = jnp.einsum("bhqd,bhkd->bhqk", gf, v.astype(jnp.float32))
-    ds = pf * (dp - (dp * pf).sum(axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, k.astype(jnp.float32)) * scale
-    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, q.astype(jnp.float32)) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None, None
-
-
-_flash_attention.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +428,9 @@ def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float):
     )
 
     if flash_shapes_ok(Lq, Lk, D):
-        out = _flash_attention(qt, kt, vt, qm, km, scale)
+        # fold softmax scale and the base-2 conversion into Q outside the
+        # kernel; autodiff chains d/dq through this product
+        out = _flash_attention(qt * jnp.asarray(scale * LOG2E, qt.dtype), kt, vt, qm, km)
     else:
         out, _ = _ref_attention(qt, kt, vt, qm, km, scale)
     return jnp.transpose(out, (0, 2, 1, 3))

@@ -72,15 +72,16 @@ def make_sp_train_step(flow_config: dict, tx, mesh: Mesh, sigma_min: float, dtyp
 
     def local_grads(params, batch, rng):
         # per-event time draws must agree across seq shards of the same
-        # event: fold in only the data-axis index
+        # event (split-then-fold keeps the t stream and the per-shard x0
+        # streams disjoint for any seq-axis size)
         d_idx = jax.lax.axis_index(DATA)
         s_idx = jax.lax.axis_index(SEQ)
-        rng_t = jax.random.fold_in(rng, d_idx)
-        rng_x = jax.random.fold_in(rng_t, s_idx + 1)
+        key_t, key_x0 = jax.random.split(jax.random.fold_in(rng, d_idx))
+        rng_x = jax.random.fold_in(key_x0, s_idx)
 
         target = batch["target"]
         B = target.shape[0]
-        t = jax.random.uniform(jax.random.fold_in(rng_t, 17), (B,), target.dtype)
+        t = jax.random.uniform(key_t, (B,), target.dtype)
         # interpolate locally with per-cell iid noise (x0 differs per shard)
         _, xt, ut = sample_location_and_conditional_flow(rng_x, target, sigma_min, t=t)
 

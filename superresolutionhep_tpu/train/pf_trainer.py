@@ -38,9 +38,16 @@ from .metrics import MetricsLogger
 from .schedule import schedule_from_config
 
 
-def cross_entropy_int_labels(logits, labels):
+def cross_entropy_int_labels(logits, labels, event_mask=None):
+    """Per-event CE averaged over real events only (``event_mask`` True ==
+    real).  Bucketed batches pad with all-masked filler events (idx -1,
+    cardinality 0); training the head on those would bias it toward zero."""
     logp = jax.nn.log_softmax(logits, axis=-1)
-    return -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1).mean()
+    ce = -jnp.take_along_axis(logp, labels[:, None].astype(jnp.int32), axis=-1)[:, 0]
+    if event_mask is None:
+        return ce.mean()
+    w = event_mask.astype(ce.dtype)
+    return (ce * w).sum() / jnp.maximum(w.sum(), 1.0)
 
 
 @dataclasses.dataclass
@@ -118,13 +125,18 @@ class PFTrainer:
 
     # ------------------------------------------------------------------
     def compute_loss(self, pred, batch):
-        """Mirrors PflowLightning.compute_loss (lightning_pf.py:124-159)."""
+        """Mirrors PflowLightning.compute_loss (lightning_pf.py:124-159).
+
+        All batch means are restricted to real events (cell_mask.any(-1)):
+        filler slots from the bucket packer would otherwise train the
+        cardinality head on zero-context events and dilute the set loss."""
         card_logits, kin_pred, inc_weights = pred
+        event_mask = batch["cell_mask"].any(axis=-1)
         loss = 0.0
         logs: Dict[str, Any] = {}
         if card_logits is not None:
             card_loss = self.card_weight * cross_entropy_int_labels(
-                card_logits, batch["cardinality"]
+                card_logits, batch["cardinality"], event_mask
             )
             loss = loss + card_loss
             logs["card_loss"] = card_loss
@@ -132,11 +144,13 @@ class PFTrainer:
         assign = None
         if kin_pred is not None:
             if self.loss_on_inc:
-                set_loss, comps, assign = set_to_set_incidence_loss(inc_weights, batch, kin_pred)
+                set_loss, comps, assign = set_to_set_incidence_loss(
+                    inc_weights, batch, kin_pred, event_mask
+                )
                 logs["inc_loss"] = set_loss
             else:
                 set_loss, comps, assign = set_to_set_kinematics_loss(
-                    kin_pred, batch, self.config_t
+                    kin_pred, batch, self.config_t, event_mask
                 )
                 logs["kin_loss"] = set_loss
             loss = loss + set_loss
@@ -313,8 +327,11 @@ class PFTrainer:
                 )
                 dphi = hb["part_phi"][pm] - km[..., 2][pm]
                 kin_res["phi"].append((dphi + np.pi) % (2 * np.pi) - np.pi)
+                # reference plots the residual against the *full* particle
+                # energy (lightning_pf.py truth_e_raw == part_e_raw), even
+                # though the training target is dep_e
                 kin_res["e"].append(
-                    hb["part_dep_e_raw"][pm] - np.asarray(tr["e"].inverse(km[..., 3]))[pm]
+                    hb["part_e_raw"][pm] - np.asarray(tr["e"].inverse(km[..., 3]))[pm]
                 )
         res = {k: v / max(n_b, 1) for k, v in sums.items()}
         if card_t:

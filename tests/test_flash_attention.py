@@ -65,3 +65,49 @@ def test_flash_gradients_match_dense():
     g_dense = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_dense):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_flash_gradients_multiblock_rectangular():
+    """Backward kernels across multiple q/k blocks with partial padding on
+    both sides (BQ=BK=512 internally at these lengths)."""
+    B, Lq, Lk, H, D = 2, 1024, 512, 2, 32
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, Lq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Lk, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Lk, H, D)).astype(np.float32))
+    q_valid = jnp.asarray(np.arange(Lq)[None, :] < np.array([[700], [1024]]))
+    kv_valid = jnp.asarray(np.arange(Lk)[None, :] < np.array([[300], [512]]))
+    scale = 1.0 / np.sqrt(D)
+
+    def f_flash(q, k, v):
+        o = masked_flash_attention(q, k, v, q_valid, kv_valid, scale)
+        return (o**2 * jnp.cos(o)).sum()
+
+    def f_dense(q, k, v):
+        o = dense_reference(q, k, v, q_valid, kv_valid, scale)
+        return (o**2 * jnp.cos(o)).sum()
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_dense):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4, err_msg=f"d{name}"
+        )
+    # padded-position grads must be exactly zero for k/v
+    assert np.all(np.asarray(g_flash[1])[0, 300:] == 0)
+    assert np.all(np.asarray(g_flash[2])[0, 300:] == 0)
+
+
+def test_flash_bf16_forward_close():
+    B, L, H, D = 1, 256, 2, 64
+    rng = np.random.default_rng(9)
+    q = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+    valid = jnp.asarray(np.arange(L)[None, :] < 200)
+    scale = 1.0 / np.sqrt(D)
+    ref = dense_reference(q, q, q, valid, valid, scale)
+    out = masked_flash_attention(
+        q.astype(jnp.bfloat16), q.astype(jnp.bfloat16), q.astype(jnp.bfloat16),
+        valid, valid, scale,
+    )
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref))
+    assert err.mean() < 2e-2

@@ -105,3 +105,49 @@ def test_losses_jit_and_grad():
     kin = jnp.zeros((3, 4, 4))
     g = jax.jit(jax.grad(f))(kin)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_event_mask_excludes_filler_events():
+    """Filler slots (all-masked events from the bucket packer) must not dilute
+    the loss: a batch with k fillers appended gives the same loss as without."""
+    batch, _ = _pf_batch(B=3, seed=11)
+    cfg = {"pt_loss_wt": 1.0, "eta_loss_wt": 1.0, "phi_loss_wt": 1.0, "e_loss_wt": 1.0}
+    kin = jnp.asarray(np.random.default_rng(1).normal(size=(3, 4, 4)).astype(np.float32))
+    ev_mask = batch["cell_mask"].any(-1)
+    loss_real, comps_real, _ = set_to_set_kinematics_loss(kin, batch, cfg, ev_mask)
+
+    # append 2 filler events (everything zero / masked-out)
+    def pad(v):
+        filler = jnp.zeros((2,) + v.shape[1:], v.dtype)
+        return jnp.concatenate([v, filler], axis=0)
+
+    padded = {k: pad(v) for k, v in batch.items()}
+    kin_p = jnp.concatenate([kin, jnp.zeros((2, 4, 4))], axis=0)
+    ev_mask_p = padded["cell_mask"].any(-1)
+    assert not bool(ev_mask_p[-1])
+    loss_pad, comps_pad, _ = set_to_set_kinematics_loss(kin_p, padded, cfg, ev_mask_p)
+    np.testing.assert_allclose(float(loss_pad), float(loss_real), rtol=1e-6)
+    for k in comps_real:
+        np.testing.assert_allclose(float(comps_pad[k]), float(comps_real[k]), rtol=1e-6)
+
+    # incidence variant too
+    li_real, ci_real, _ = set_to_set_incidence_loss(
+        jnp.swapaxes(batch["incidence_matrix"], 1, 2), batch, kin, ev_mask
+    )
+    li_pad, ci_pad, _ = set_to_set_incidence_loss(
+        jnp.swapaxes(padded["incidence_matrix"], 1, 2), padded, kin_p, ev_mask_p
+    )
+    np.testing.assert_allclose(float(li_pad), float(li_real), rtol=1e-6)
+    np.testing.assert_allclose(float(ci_pad["kin_loss"]), float(ci_real["kin_loss"]), rtol=1e-6)
+
+
+def test_cardinality_ce_excludes_filler_events():
+    from superresolutionhep_tpu.train.pf_trainer import cross_entropy_int_labels
+
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(size=(4, 5)).astype(np.float32))
+    labels = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    mask = jnp.asarray([True, True, False, False])
+    full = cross_entropy_int_labels(logits[:2], labels[:2])
+    masked = cross_entropy_int_labels(logits, labels, mask)
+    np.testing.assert_allclose(float(masked), float(full), rtol=1e-6)
