@@ -22,8 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_STEPS = 25
 N_ENSEMBLE = 10
-N_EVENTS = 32
+N_EVENTS = 256
 METHOD = "ab2"  # 2nd-order multistep: 1 model eval per step (see flow/ode.py)
+MEASURED_CHIP_TFS = 56.2  # large-matmul bf16 rate measured on this chip
+                          # (scripts/kernel_experiments.py mxu_4096_matmul)
 
 
 def main():
@@ -94,12 +96,15 @@ def main():
 
     jitted = jax.jit(run_batch)
 
-    # coarse quantum: few distinct shapes -> few compilations
+    # coarse quantum: few distinct shapes -> few compilations.  The flash
+    # kernel keeps attention memory O(L), so the batch budget is set by HBM
+    # activations, not L^2 scores — fuller batches amortise the non-attention
+    # ops and widen the kernel grid
     batcher = BucketBatcher(
         ds.cell_count_high,
         quantum=2048,
-        cost_budget=4096 * 4096 * 4,
-        max_batch_size=16,
+        cost_budget=4096 * 4096 * 16,
+        max_batch_size=64,
         shuffle=False,
     )
 
@@ -136,20 +141,38 @@ def main():
         sync(jitted(mb, key))
         print(f"compiled {shape}: {time.time()-tc:.1f}s", file=sys.stderr)
 
+    # flops per compiled shape (XLA cost analysis) for the MFU estimate
+    shape_flops = {}
+    try:
+        for mb, _ in batches:
+            shape = mb["eta"].shape
+            if shape not in shape_flops:
+                ca = jax.jit(run_batch).lower(mb, key).compile().cost_analysis()
+                shape_flops[shape] = float(ca.get("flops", 0.0))
+    except Exception:
+        shape_flops = {}
+
     # timed pass
 
     per_batch = []
+    event_latencies = []  # batch wall-time, once per real event in the batch
+    total_flops = 0.0
     t0 = time.time()
     total_events = 0
     for i, (mb, n_real) in enumerate(batches):
         tb = time.time()
         out = jitted(mb, jax.random.fold_in(key, i))
         sync(out)
-        per_batch.append((tuple(mb["eta"].shape[:2]), n_real, round(time.time() - tb, 3)))
+        bt = time.time() - tb
+        per_batch.append((tuple(mb["eta"].shape[:2]), n_real, round(bt, 3)))
+        event_latencies.extend([bt] * n_real)
+        total_flops += shape_flops.get(mb["eta"].shape, 0.0)
         total_events += n_real
     dt = time.time() - t0
 
     events_per_sec = total_events / dt
+    lat = np.asarray(event_latencies)
+    achieved_tfs = (total_flops / dt / 1e12) if total_flops else None
 
     published = {}
     try:
@@ -170,7 +193,12 @@ def main():
     # secondary metric: SR training step throughput at multipart scale
     train_metrics = None
     try:
-        train_metrics = _train_bench(jax, jnp, np, config_mv)
+        train_metrics = [
+            _train_bench(jax, jnp, np, config_mv, B=8, N=2048),
+            # multipart bucket top-end: the packer cap is 3520 cells
+            # (SURVEY §6); 3584 = next flash-block-divisible pad
+            _train_bench(jax, jnp, np, config_mv, B=6, N=3584),
+        ]
     except Exception as e:
         print(json.dumps({"train_bench_error": str(e)[:200]}), file=sys.stderr)
 
@@ -190,7 +218,16 @@ def main():
                     "n_events": total_events,
                     "wall_s": round(dt, 3),
                     "host_prep_s": round(host_prep_s, 3),
-                    "p50_event_latency_ms": round(1000.0 * dt / max(total_events, 1), 2),
+                    # latency of an event = wall time of the batch that
+                    # carried it (what a caller waits for); quantiles over
+                    # all real events
+                    "p50_event_latency_ms": round(1000.0 * float(np.percentile(lat, 50)), 2),
+                    "p95_event_latency_ms": round(1000.0 * float(np.percentile(lat, 95)), 2),
+                    "mean_event_cost_ms": round(1000.0 * dt / max(total_events, 1), 2),
+                    "achieved_tfs": round(achieved_tfs, 1) if achieved_tfs else None,
+                    "mfu_vs_measured_chip_peak": (
+                        round(achieved_tfs / MEASURED_CHIP_TFS, 3) if achieved_tfs else None
+                    ),
                     "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
                     "per_batch": per_batch,
                     "pf_inference_events_per_sec": pf_events_per_sec,

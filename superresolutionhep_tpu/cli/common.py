@@ -16,6 +16,11 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--device", "-g", type=str, default=None, help="device selector (e.g. 'cpu' to force CPU)")
     parser.add_argument("--run_dir", type=str, default=None)
     parser.add_argument("--resume", action="store_true")
+    parser.add_argument(
+        "--profile",
+        action="store_true",
+        help="collect a jax.profiler trace of the first trained epoch into <run_dir>/profile",
+    )
     return parser
 
 

@@ -16,6 +16,8 @@ def main(argv=None):
     dtype = apply_runtime_flags(args)
 
     config_mv, config_t = load_config_pair(args.config_mv, args.config_t)
+    if args.profile:
+        config_t = dict(config_t, profile=True)
     run_dir = args.run_dir or default_run_dir(config_t, "sr")
 
     from ..train.sr_trainer import SRTrainer

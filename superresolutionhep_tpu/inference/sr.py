@@ -137,9 +137,6 @@ class SRInference:
                 low_z[f"e_part_{pi}"] = []
                 high_z[f"e_part_{pi}"] = []
 
-        # order outputs by event idx for deterministic files
-        results: Dict[int, tuple] = {}
-
         batcher = BucketBatcher(
             ds.cell_count_high,
             quantum=int(self.config_t.get("bucket_quantum", 128)),
@@ -147,6 +144,10 @@ class SRInference:
             shuffle=False,
         )
         key = jax.random.PRNGKey(int(inf_dict.get("seed", 0)))
+        # stream: each batch's trajectories are consumed into the output
+        # branches immediately (no per-run (E, T, N) trajectory buffer);
+        # branch rows are reordered to event-index order once at the end
+        positions: List[int] = []
         for bi, (idxs, bucket) in enumerate(batcher):
             events = [ds.get_event(i) if i >= 0 else None for i in idxs]
             hb = collate(events, bucket.pad_n, with_low=True, pad_n_low=bucket.pad_n)
@@ -162,15 +163,17 @@ class SRInference:
             traj = np.asarray(traj)
             for slot, ev in enumerate(events):
                 if ev is not None:
-                    results[ev.idx] = (ev, traj[:, :, slot, :, 0])
+                    self._fill_event(
+                        ev, traj[:, :, slot, :, 0], low_z, high_z, part_z,
+                        n_ensemble=n_ensemble, store_comp=store_comp,
+                        store_inc=store_inc, max_particles=max_particles,
+                    )
+                    positions.append(ev.idx)
 
-        for idx in sorted(results):
-            ev, traj = results[idx]
-            self._fill_event(
-                ev, traj, low_z, high_z, part_z,
-                n_ensemble=n_ensemble, store_comp=store_comp,
-                store_inc=store_inc, max_particles=max_particles,
-            )
+        order = np.argsort(np.asarray(positions, np.int64), kind="stable")
+        for zd in (low_z, high_z, part_z):
+            for k in zd:
+                zd[k] = [zd[k][i] for i in order]
 
         pred_path = inf_dict["pred_path"]
         os.makedirs(os.path.dirname(os.path.abspath(pred_path)), exist_ok=True)

@@ -164,9 +164,13 @@ def set_to_set_kinematics_loss(kin_pred, batch, config, event_mask=None):
 # ---------------------------------------------------------------------------
 
 
-def incidence_pairwise_cost(inc_weights, batch):
+def incidence_pairwise_cost(inc_weights, batch, axis_name=None):
     """Masked-KL pairwise cost (B, P, P): truth incidence row_i vs predicted
-    incidence row_j (set_to_set_loss.py:155-172)."""
+    incidence row_j (set_to_set_loss.py:155-172).
+
+    ``axis_name`` supports sequence parallelism: when cells are sharded over
+    that mesh axis, the per-shard partial KL sums and cell counts psum into
+    the exact global cost (the KL is a plain sum over cells)."""
     cell_mask = batch["cell_mask"].astype(jnp.float32)  # (B, N)
     target = jnp.swapaxes(batch["incidence_matrix"], 1, 2)  # (B, P, N)
     inp = inc_weights * cell_mask[:, None, :]
@@ -175,8 +179,11 @@ def incidence_pairwise_cost(inc_weights, batch):
     # kld[b, i, j] = -sum_c target[b,i,c] * log(input[b,j,c] + eps) / n_cells
     logs = jnp.log(inp + EPS)  # (B, P, N)
     kld = -jnp.einsum("bin,bjn->bij", target, logs)
-    n_cells = jnp.maximum(cell_mask.sum(axis=-1), 1.0)[:, None, None]
-    kld = kld / n_cells
+    n_cells = cell_mask.sum(axis=-1)
+    if axis_name is not None:
+        kld = jax.lax.psum(kld, axis_name)
+        n_cells = jax.lax.psum(n_cells, axis_name)
+    kld = kld / jnp.maximum(n_cells, 1.0)[:, None, None]
 
     not_q4, q2_q3_inf = pad_cost_masks(batch["part_mask"])
     return kld * not_q4 + q2_q3_inf

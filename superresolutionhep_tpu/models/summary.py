@@ -49,3 +49,39 @@ def param_count(params) -> int:
     import jax
 
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def activation_summary(intermediates: dict) -> dict:
+    """Per-module statistics over captured intermediate activations
+    (``model.apply(..., capture_intermediates=True)``).
+
+    The reference re-runs its forward with per-layer verbose printing before
+    aborting on a non-finite loss (models/flow_model.py:176-262); this is the
+    structured equivalent: min/max/mean/std and a non-finite count per
+    captured tensor, keyed by the module path.
+    """
+    out = {}
+
+    def walk(tree, path):
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                walk(v, f"{path}/{k}" if path else k)
+        elif isinstance(tree, (tuple, list)):
+            for i, v in enumerate(tree):
+                walk(v, f"{path}[{i}]" if len(tree) > 1 else path)
+        else:
+            a = np.asarray(tree, np.float32).ravel()
+            if a.size == 0:
+                return
+            finite = np.isfinite(a)
+            entry = {"n_nonfinite": int((~finite).sum()), "shape": list(np.shape(tree))}
+            if finite.any():
+                f = a[finite]
+                entry.update(
+                    {"min": float(f.min()), "max": float(f.max()),
+                     "mean": float(f.mean()), "std": float(f.std())}
+                )
+            out[path] = entry
+
+    walk(intermediates, "")
+    return out

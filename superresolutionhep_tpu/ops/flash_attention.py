@@ -76,14 +76,18 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref, km_ref, qm_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, softmax_bf16
+    q_ref, k_ref, v_ref, km_ref, qm_ref, o_ref, *rest, softmax_bf16, with_lse
 ):
+    if with_lse:
+        lse_ref, m_scr, l_scr, acc_scr = rest
+    else:
+        lse_ref, (m_scr, l_scr, acc_scr) = None, rest
     """Grid (B, H, nQ, nK) with nK innermost/sequential; online-softmax carry
     lives in VMEM scratch across the K-block sweep.
 
     Q arrives pre-scaled by scale*log2(e), so scores are base-2 logits
-    straight off the MXU.  Emits the base-2 log-sum-exp per query row (in
-    (B, Lq, H) layout so backward blocks read it as a (BQ, 1) column).
+    straight off the MXU.  Emits the base-2 log-sum-exp per query row
+    ((B, H, Lq, 1) layout: backward blocks read it as a (BQ, 1) column).
     """
     j = pl.program_id(3)
     n_k = pl.num_programs(3)
@@ -132,26 +136,43 @@ def _fwd_kernel(
         out = acc_scr[:] / jnp.maximum(l, 1e-30)
         out = out * (jnp.transpose(qm) > 0)  # zero padded queries
         o_ref[0, 0] = out.astype(o_ref.dtype)
-        # base-2 LSE; NEG_INF rows (no valid key anywhere) stay hugely
-        # negative, and backward skips dead blocks before exponentiating
-        lse_ref[0, :, :] = m_scr[:] + jnp.log2(jnp.maximum(l, 1e-30))
+        if with_lse:
+            # base-2 LSE; NEG_INF rows (no valid key anywhere) stay hugely
+            # negative, and backward skips dead blocks before exponentiating
+            lse_ref[0, 0] = m_scr[:] + jnp.log2(jnp.maximum(l, 1e-30))
 
 
-def _flash_fwd(q, k, v, qm, km):
+def _flash_fwd(q, k, v, qm, km, with_lse=True):
     """q (pre-scaled by scale*log2e), k, v: (B,H,L,D); qm: (B,1,Lq) float;
-    km: (B,1,Lk) float.  Returns (out, lse) with lse in (B, Lq, H) layout."""
+    km: (B,1,Lk) float.  Returns (out, lse) with lse shaped (B, H, Lq, 1)
+    (trailing singleton keeps the TPU tile rule and reads back as a (BQ, 1)
+    column in the backward kernels).  The pure-inference path skips the LSE
+    residual entirely (``with_lse=False``): the degenerate-lane (BQ, 1)
+    store per q-block costs real wall-time on TPU."""
     B, H, Lq, D = q.shape
     Lk = k.shape[2]
     BQ = _pick_block(Lq, DEFAULT_BLOCK_Q)
-    BK = _pick_block(Lk, DEFAULT_BLOCK_K)
+    # wider K blocks amortise per-step overhead; bf16 only — the fp32 path's
+    # (BQ, BK) f32 score+prob tiles would blow the 16 MB VMEM budget
+    BK = _pick_block(Lk, 2048 if q.dtype == jnp.bfloat16 and D <= 64 else DEFAULT_BLOCK_K)
+
+    out_shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    out_spec = pl.BlockSpec(
+        (1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM
+    )
+    if with_lse:
+        out_shape = (out_shape, jax.ShapeDtypeStruct((B, H, Lq, 1), jnp.float32))
+        out_spec = (
+            out_spec,
+            pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
+        )
 
     grid = (B, H, Lq // BQ, Lk // BK)
-    out, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, softmax_bf16=q.dtype == jnp.bfloat16),
-        out_shape=(
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, Lq, H), jnp.float32),
+    res = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, softmax_bf16=q.dtype == jnp.bfloat16, with_lse=with_lse
         ),
+        out_shape=out_shape,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
@@ -160,10 +181,7 @@ def _flash_fwd(q, k, v, qm, km):
             pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((BQ, 1), jnp.float32),
             pltpu.VMEM((BQ, 1), jnp.float32),
@@ -176,7 +194,7 @@ def _flash_fwd(q, k, v, qm, km):
         ),
         interpret=_interpret(),
     )(q, k, v, km, qm)
-    return out, lse
+    return res if with_lse else (res, None)
 
 
 # ---------------------------------------------------------------------------
@@ -209,8 +227,8 @@ def _bwd_dq_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         g = g_ref[0, 0]  # (BQ, D), qm-masked
-        lse = lse_ref[0]  # (BQ, 1)
-        dl = dl_ref[0]  # (BQ, 1)  = sum_d(out * g)
+        lse = lse_ref[0, 0]  # (BQ, 1)
+        dl = dl_ref[0, 0]  # (BQ, 1)  = sum_d(out * g)
 
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -258,8 +276,8 @@ def _bwd_dkv_kernel(
         k = k_ref[0, 0]  # (BK, D)
         v = v_ref[0, 0]
         g = g_ref[0, 0]  # (BQ, D), qm-masked
-        lse = lse_ref[0]  # (BQ, 1)
-        dl = dl_ref[0]  # (BQ, 1)
+        lse = lse_ref[0, 0]  # (BQ, 1)
+        dl = dl_ref[0, 0]  # (BQ, 1)
 
         s = lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -299,12 +317,12 @@ def _flash_bwd(q, k, v, qm, km, out, lse, g):
 
     # zero cotangents on padded queries; precompute dl = sum_d(out * g)
     g = g * (jnp.swapaxes(qm, -1, -2)[:, None] > 0)
-    dl = jnp.transpose((out.astype(jnp.float32) * g.astype(jnp.float32)).sum(-1), (0, 2, 1))
-    # (B, Lq, H) like lse
+    dl = (out.astype(jnp.float32) * g.astype(jnp.float32)).sum(-1, keepdims=True)
+    # (B, H, Lq, 1) like lse
 
     qspec = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
     kspec = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM)
-    rowq = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, i, h), memory_space=pltpu.VMEM)
+    rowq = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
     kmspec = pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM)
     qmspec = pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM)
 
@@ -326,7 +344,7 @@ def _flash_bwd(q, k, v, qm, km, out, lse, g):
     # swap streaming dims: grid iterates (kv block, q block inner)
     qspec2 = pl.BlockSpec((1, 1, BQ, D), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM)
     kspec2 = pl.BlockSpec((1, 1, BK, D), lambda b, h, i, j: (b, h, i, 0), memory_space=pltpu.VMEM)
-    rowq2 = pl.BlockSpec((1, BQ, 1), lambda b, h, i, j: (b, j, h), memory_space=pltpu.VMEM)
+    rowq2 = pl.BlockSpec((1, 1, BQ, 1), lambda b, h, i, j: (b, h, j, 0), memory_space=pltpu.VMEM)
     kmspec2 = pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM)
     qmspec2 = pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM)
 
@@ -364,7 +382,7 @@ def _flash_bwd(q, k, v, qm, km, out, lse, g):
 
 @jax.custom_vjp
 def _flash_attention(q_pre, k, v, qm, km):
-    out, _ = _flash_fwd(q_pre, k, v, qm, km)
+    out, _ = _flash_fwd(q_pre, k, v, qm, km, with_lse=False)
     return out
 
 

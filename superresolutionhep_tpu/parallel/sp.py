@@ -17,6 +17,8 @@ Composes with data parallelism on a ('data', 'seq') mesh: batch sharded over
 
 from __future__ import annotations
 
+from typing import Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -116,6 +118,104 @@ def make_sp_train_step(flow_config: dict, tx, mesh: Mesh, sigma_min: float, dtyp
     return model_sp, step
 
 
+def _pf_batch_specs(batch):
+    out = {}
+    for k, v in batch.items():
+        if k.startswith("cell_") or k == "incidence_matrix":
+            out[k] = P(DATA, SEQ, *([None] * (v.ndim - 2)))
+        elif v.ndim >= 2:
+            out[k] = P(DATA, *([None] * (v.ndim - 1)))
+        else:
+            out[k] = P(DATA)
+    return out
+
+
+def make_pf_sp_train_step(
+    config_pf: dict,
+    transforms,
+    tx,
+    mesh: Mesh,
+    config_t: Optional[dict] = None,
+    dtype=None,
+    sp_mode: str = "gather",
+):
+    """Stage-2 (SAPF) dp x sp train step: cells sharded over ``seq``.
+
+    The set-to-set incidence KL is a plain sum over cells, so each shard's
+    partial cost psums into the exact global (B, P, P) cost matrix
+    (losses/set2set.incidence_pairwise_cost ``axis_name``); the Hungarian
+    argmin then runs replicated (P! small).  The cardinality CE and the
+    kinematics-cost variant touch no cell axis and run replicated over
+    ``seq``.  All per-event means are restricted to real events via a
+    psum'd cell-validity flag (same fix as pf_trainer.compute_loss).
+    Grads psum over both mesh axes.
+    """
+    import optax
+
+    from ..losses.set2set import (
+        _gather_matched,
+        hungarian,
+        incidence_pairwise_cost,
+        kinematics_pairwise_cost,
+    )
+    from ..models.pf.model_pf import SAPF
+
+    config_t = config_t or {}
+    loss_on_inc = bool(config_t.get("loss_on_inc_wts", True))
+    card_weight = float(config_t.get("card_loss_weight", 1.0))
+    kin_weights = {
+        k: float(config_t.get(k, 1.0))
+        for k in ("pt_loss_wt", "eta_loss_wt", "phi_loss_wt", "e_loss_wt")
+    }
+    model_sp = SAPF(
+        config_pf=config_pf, transforms=transforms, sp_axis=SEQ, sp_mode=sp_mode, dtype=dtype
+    )
+
+    def local_grads(params, batch):
+        # real (non-filler) events: any valid cell on any seq shard
+        ev_local = batch["cell_mask"].any(axis=-1).astype(jnp.float32)
+        w = (jax.lax.psum(ev_local, SEQ) > 0).astype(jnp.float32)  # (B_local,)
+        n_real = jnp.maximum(jax.lax.psum(w.sum(), DATA), 1.0)
+
+        def loss_fn(p):
+            card_logits, kin_pred, inc_weights = model_sp.apply({"params": p}, batch)
+            loss_sum = 0.0
+            if card_logits is not None:
+                logp = jax.nn.log_softmax(card_logits, axis=-1)
+                ce = -jnp.take_along_axis(
+                    logp, batch["cardinality"][:, None].astype(jnp.int32), axis=-1
+                )[:, 0]
+                loss_sum = loss_sum + card_weight * (ce * w).sum()
+            if kin_pred is not None:
+                if loss_on_inc:
+                    pdist = incidence_pairwise_cost(inc_weights, batch, axis_name=SEQ)
+                else:
+                    pdist, _ = kinematics_pairwise_cost(kin_pred, batch, kin_weights)
+                assign = hungarian(jax.lax.stop_gradient(pdist))
+                per_event = _gather_matched(pdist, assign).mean(axis=1)
+                loss_sum = loss_sum + (per_event * w).sum()
+            return jax.lax.psum(loss_sum, DATA) / n_real
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.lax.psum(grads, (DATA, SEQ))
+        return loss, grads
+
+    def step(params, opt_state, batch):
+        fn = jax.shard_map(
+            local_grads,
+            mesh=mesh,
+            in_specs=(P(), _pf_batch_specs(batch)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        loss, grads = fn(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return model_sp, step
+
+
 def make_pf_sp_forward(config_pf: dict, transforms, mesh: Mesh, dtype=None, sp_mode: str = "gather"):
     """Stage-2 (SAPF) forward with cells sharded over ``seq``: cell features
     and incidence weights stay sharded, pooled context / cardinality logits /
@@ -129,22 +229,11 @@ def make_pf_sp_forward(config_pf: dict, transforms, mesh: Mesh, dtype=None, sp_m
     def local(variables, batch):
         return model_sp.apply(variables, batch)
 
-    def specs(batch):
-        out = {}
-        for k, v in batch.items():
-            if k.startswith("cell_") or k == "incidence_matrix":
-                out[k] = P(DATA, SEQ, *([None] * (v.ndim - 2)))
-            elif v.ndim >= 2:
-                out[k] = P(DATA, *([None] * (v.ndim - 1)))
-            else:
-                out[k] = P(DATA)
-        return out
-
     def forward(variables, batch):
         fn = jax.shard_map(
             local,
             mesh=mesh,
-            in_specs=(P(), specs(batch)),
+            in_specs=(P(), _pf_batch_specs(batch)),
             out_specs=(P(DATA), P(DATA), P(DATA, None, SEQ)),
             check_vma=False,
         )

@@ -265,10 +265,19 @@ class PFTrainer:
 
         from ..data.prefetch import BatchPrefetcher
 
+        # --profile: trace exactly one epoch (SURVEY §5 profiling hook)
+        profile_epoch = self.state.epoch if ct.get("profile") else None
+
         for epoch in range(self.state.epoch, num_epochs):
             lr = jnp.asarray(self.lr_fn(epoch), jnp.float32)
             t0 = time.time()
             sums, n_b = {}, 0
+            if epoch == profile_epoch:
+                try:
+                    self.metrics.start_profile()
+                except Exception:
+                    self.metrics.log_scalars({"profile_unavailable": 1.0}, step=epoch)
+                    profile_epoch = None
             for hb in BatchPrefetcher(
                 self._batcher(train_ds, "train", seed=epoch), prepare, num_workers=num_workers
             ):
@@ -283,6 +292,11 @@ class PFTrainer:
             ep = {f"train/{k}": float(v) / max(n_b, 1) for k, v in sums.items()}
             ep["lr"] = float(lr)
             ep["train/epoch_s"] = time.time() - t0
+            if epoch == profile_epoch:
+                try:
+                    self.metrics.stop_profile()
+                except Exception:
+                    pass
 
             if val_ds is not None and (epoch % eval_every == 0 or epoch == num_epochs - 1):
                 ep.update(self.evaluate(val_ds, make_plots=bool(ct.get("epoch_end_plots", True))))

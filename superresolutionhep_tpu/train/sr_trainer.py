@@ -257,10 +257,20 @@ class SRTrainer:
 
         from ..data.prefetch import BatchPrefetcher
 
+        # --profile: trace exactly one epoch (SURVEY §5 profiling hook)
+        profile_epoch = self.state.epoch if ct.get("profile") else None
+
         for epoch in range(self.state.epoch, num_epochs):
             lr = jnp.asarray(self.lr_fn(epoch), jnp.float32)
             t_ep = time.time()
             ep_stats, n_batches = {}, 0
+            last_hb, last_rng = None, None
+            if epoch == profile_epoch:
+                try:
+                    self.metrics.start_profile()
+                except Exception as e:  # backend without trace support
+                    self.metrics.log_scalars({"profile_unavailable": 1.0}, step=epoch)
+                    profile_epoch = None
             batches = BatchPrefetcher(
                 self._batcher(train_ds, "train", seed=epoch), prepare, num_workers=num_workers
             )
@@ -271,18 +281,28 @@ class SRTrainer:
                     self.state.params, self.state.opt_state, batch, step_rng, lr
                 )
                 n_batches += 1
+                last_hb, last_rng = hb, step_rng
                 for k, v in stats.items():
                     ep_stats[k] = ep_stats.get(k, 0.0) + v
 
             ep_stats = {f"train/{k}": float(v) / max(n_batches, 1) for k, v in ep_stats.items()}
             ep_stats["lr"] = float(lr)
             ep_stats["train/epoch_s"] = time.time() - t_ep
+            if epoch == profile_epoch:
+                try:
+                    self.metrics.stop_profile()
+                except Exception:
+                    pass
 
             if ep_stats.get("train/nonfinite", 0) > 0:
-                # mirror of the reference's non-finite abort, without killing
-                # the process: stop training and flag loudly
+                # mirror of the reference's non-finite abort: re-run the
+                # forward verbosely (per-layer stats) before stopping
+                # (models/flow_model.py:176-262,283-285)
+                diag = self._dump_nonfinite_diagnostics(last_hb, last_rng, epoch)
                 self.metrics.log_scalars({"fatal_nonfinite_loss": 1.0}, step=epoch)
-                raise FloatingPointError(f"non-finite training loss at epoch {epoch}")
+                raise FloatingPointError(
+                    f"non-finite training loss at epoch {epoch}; diagnostics at {diag}"
+                )
 
             if val_ds is not None and (epoch % eval_every == 0 or epoch == num_epochs - 1):
                 make_plots = int(ct.get("n_event_displays", 0)) > 0
@@ -300,6 +320,38 @@ class SRTrainer:
         if self.ckpt is not None:
             self.ckpt.wait()
         return self.state
+
+    # ------------------------------------------------------------------
+    def _dump_nonfinite_diagnostics(self, host_batch, rng, epoch: int) -> str:
+        """Per-layer forensic dump on the non-finite-loss trip — the
+        structured equivalent of the reference's verbose re-forward
+        (models/flow_model.py:176-262).  Non-finite params persist once
+        produced, so re-running the *last* batch of the epoch with
+        intermediate capture localises the first offending module even if an
+        earlier batch tripped the flag."""
+        import json
+
+        from ..models.summary import activation_summary, param_summary
+
+        report = {"epoch": epoch, "params": param_summary(self.state.params)}
+        try:
+            batch = self._device_batch(host_batch)
+            t, xt, ut = sample_location_and_conditional_flow(
+                rng, batch["target"], self.sigma_min
+            )
+            _, state = self.model.apply(
+                {"params": self.state.params}, batch, xt, t,
+                capture_intermediates=True,
+            )
+            report["activations"] = activation_summary(
+                jax.tree_util.tree_map(np.asarray, dict(state["intermediates"]))
+            )
+        except Exception as e:  # diagnostics must never mask the abort
+            report["activation_capture_error"] = str(e)[:500]
+        path = os.path.join(self.run_dir, "nonfinite_diagnostics.json")
+        with open(path, "w") as fp:
+            json.dump(report, fp, indent=2, default=str)
+        return path
 
     # ------------------------------------------------------------------
     def evaluate(

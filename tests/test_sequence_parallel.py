@@ -82,16 +82,10 @@ def test_host_entry_range_partition():
     assert max(sizes) - min(sizes) <= 1
 
 
-def test_pf_sp_forward_matches_single_device():
+def _pf_sp_batch(B=4, N=32, Pmax=4, seed=11, with_incidence=False):
     from superresolutionhep_tpu.data.pf_dataset import collate_pf
-    from superresolutionhep_tpu.models.pf.model_pf import SAPF
-    from superresolutionhep_tpu.parallel.sp import make_pf_sp_forward
-    from superresolutionhep_tpu.transforms import build_var_transforms
-    from test_pf_pipeline import pf_config_mv
 
-    cfg = pf_config_mv()
-    rng = np.random.default_rng(11)
-    B, N, Pmax = 4, 32, 4
+    rng = np.random.default_rng(seed)
     events = []
     for i in range(B):
         n = int(rng.integers(8, N + 1))
@@ -112,8 +106,21 @@ def test_pf_sp_forward_matches_single_device():
         for k in ["part_pt", "part_e", "part_eta", "part_dep_e",
                   "part_pt_raw", "part_e_raw", "part_eta_raw", "part_dep_e_raw"]:
             ev[k] = rng.normal(size=Pmax).astype(np.float32)
+        if with_incidence:
+            inc = np.abs(rng.normal(size=(n, Pmax))).astype(np.float32)
+            ev["incidence_matrix"] = inc / inc.sum(axis=1, keepdims=True)
         events.append(ev)
-    batch = {k: jnp.asarray(v) for k, v in collate_pf(events, N, Pmax).items() if k != "idx"}
+    return {k: jnp.asarray(v) for k, v in collate_pf(events, N, Pmax).items() if k != "idx"}
+
+
+def test_pf_sp_forward_matches_single_device():
+    from superresolutionhep_tpu.models.pf.model_pf import SAPF
+    from superresolutionhep_tpu.parallel.sp import make_pf_sp_forward
+    from superresolutionhep_tpu.transforms import build_var_transforms
+    from test_pf_pipeline import pf_config_mv
+
+    cfg = pf_config_mv()
+    batch = _pf_sp_batch()
 
     transforms = build_var_transforms(cfg["var_transform"])
     model = SAPF(config_pf=cfg["pf_model"], transforms=transforms, attn_impl="xla")
@@ -128,3 +135,40 @@ def test_pf_sp_forward_matches_single_device():
     np.testing.assert_allclose(np.asarray(logits), np.asarray(logits_ref), rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(kin), np.asarray(kin_ref), rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(inc_ref), rtol=2e-5, atol=2e-6)
+
+
+def test_pf_sp_train_step_loss_matches_single_device():
+    """dp(2) x sp(4) PF train step: the sharded loss (psum'd incidence KL +
+    cardinality CE over real events) must equal the single-device value."""
+    from superresolutionhep_tpu.losses.set2set import set_to_set_incidence_loss
+    from superresolutionhep_tpu.models.pf.model_pf import SAPF
+    from superresolutionhep_tpu.parallel.sp import make_dp_sp_mesh, make_pf_sp_train_step
+    from superresolutionhep_tpu.train.pf_trainer import cross_entropy_int_labels
+    from superresolutionhep_tpu.transforms import build_var_transforms
+    from test_pf_pipeline import pf_config_mv
+
+    cfg = pf_config_mv()
+    batch = _pf_sp_batch(with_incidence=True, seed=13)
+    transforms = build_var_transforms(cfg["var_transform"])
+    config_t = {"loss_on_inc_wts": True, "card_loss_weight": 0.5}
+
+    # single-device reference loss
+    model = SAPF(config_pf=cfg["pf_model"], transforms=transforms, attn_impl="xla")
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    logits, kin, inc = model.apply(variables, batch)
+    ev_mask = batch["cell_mask"].any(-1)
+    inc_loss, _, _ = set_to_set_incidence_loss(inc, batch, kin, ev_mask)
+    ref_loss = 0.5 * cross_entropy_int_labels(logits, batch["cardinality"], ev_mask) + inc_loss
+
+    mesh = make_dp_sp_mesh(2, 4)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(variables["params"])
+    _, step = make_pf_sp_train_step(
+        cfg["pf_model"], transforms, tx, mesh, config_t=config_t
+    )
+    params2, opt_state2, loss = step(variables["params"], opt_state, batch)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4, atol=1e-5)
+    # and the step actually updated the params
+    leaves0 = jax.tree_util.tree_leaves(variables["params"])
+    leaves1 = jax.tree_util.tree_leaves(params2)
+    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))

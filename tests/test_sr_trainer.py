@@ -92,3 +92,45 @@ def test_sr_training_two_epochs(paths):
     leaves1 = [np.asarray(x) for x in __import__("jax").tree_util.tree_leaves(restored["params"])]
     for a, b in zip(leaves0, leaves1):
         np.testing.assert_array_equal(a, b)
+
+
+def test_nonfinite_diagnostics_dump(paths, tmp_path):
+    """The non-finite abort must first write per-layer param/activation
+    forensics (the reference's verbose re-forward, flow_model.py:176-262)."""
+    import jax
+    import jax.numpy as jnp
+    import json
+
+    train, val, _ = paths
+    run = str(tmp_path / "nf_run")
+    config_mv, config_t = make_configs(train, val, run)
+    trainer = SRTrainer(config_mv, config_t, run_dir=run, seed=0)
+
+    # poison one kernel so the very first forward goes non-finite
+    def poison(tree):
+        k = sorted(tree.keys())[0]
+        sub = tree[k]
+        if isinstance(sub, dict):
+            poison(sub)
+        else:
+            tree[k] = jnp.full_like(sub, jnp.nan)
+
+    params = jax.tree_util.tree_map(lambda x: x, trainer.state.params)  # copy
+    import flax
+
+    params = flax.core.unfreeze(params) if hasattr(flax.core, "unfreeze") else params
+    poison(params)
+    trainer.state.params = params
+
+    ds = SupResEvents(train, config_mv)
+    with pytest.raises(FloatingPointError, match="diagnostics at"):
+        trainer.fit(train_ds=ds, val_ds=None, num_epochs=1)
+
+    path = run + "/nonfinite_diagnostics.json"
+    import os
+
+    assert os.path.exists(path)
+    rep = json.load(open(path))
+    assert "params" in rep and "activations" in rep
+    # at least one captured activation must be flagged non-finite
+    assert any(v.get("n_nonfinite", 0) > 0 for v in rep["activations"].values())
