@@ -326,60 +326,118 @@ class PerformanceCOCOA:
         return fig
 
     # ------------------------------------------------------------------
-    def plot_residual_event_ens(self, dir=None):
-        """Per-component overlays of the event-sum relative residual
-        (plot_ensembles.py:12+)."""
+    def _sum_by_layer(self, rows, layers):
+        """Per-event sums for each ECAL layer key (0,1,2,'all')."""
+        out = {L: np.empty(self.n_events) for L in [0, 1, 2, "all"]}
+        for i in range(self.n_events):
+            v = np.asarray(rows[i])
+            lay = layers[i]
+            for L in range(3):
+                out[L][i] = v[lay == L].sum()
+            out["all"][i] = v.sum()
+        return out
+
+    def plot_residual_event_ens(self, dir=None, truth_e_range=None):
+        """Event-sum residuals (absolute and relative) per ECAL layer and
+        overall, overlaying every ensemble component (filled, faint) against
+        LR-measured, the recomputed ensemble average and the file-level
+        direct average (plot_ensembles.py:12-165, full per-layer surface)."""
         import matplotlib.pyplot as plt
 
-        fig, ax = plt.subplots(figsize=(7, 5), dpi=120)
-        truth = np.array([t.sum() for t in self.high_e_truth])
-        bins = None
-        for k in sorted(self.high_e_pred_raw_comp):
-            p = np.array([np.asarray(x).sum() for x in self.high_e_pred_raw_comp[k]])
+        truth = self._sum_by_layer(self.high_e_truth, self.high_layer)
+        meas = self._sum_by_layer(self.low_e_measured, self.low_layer)
+        pred = self._sum_by_layer(self.high_e_pred, self.high_layer)
+        direct = self._sum_by_layer(self.high_e_pred_direct, self.high_layer)
+        comps = {
+            k: self._sum_by_layer(v, self.high_layer)
+            for k, v in sorted(self.high_e_pred_raw_comp.items())
+        }
+
+        fig, axes = plt.subplots(2, 4, figsize=(16, 8), dpi=120)
+        for col, L in enumerate(["all", 0, 1, 2]):
+            t = truth[L]
+            sel = np.ones(t.size, bool)
+            if truth_e_range is not None:
+                sel = (t > truth_e_range[0]) & (t < truth_e_range[1])
+            series = [
+                ("LR meas", meas[L][sel] - t[sel], dict(histtype="stepfilled", alpha=0.8, color="cornflowerblue")),
+                ("HR pred", pred[L][sel] - t[sel], dict(histtype="step", ec="r")),
+                ("HR direct", direct[L][sel] - t[sel], dict(histtype="step", ec="g")),
+            ]
+            comp_res = [(c[L][sel] - t[sel]) for c in comps.values()]
+            title = "All layers" if L == "all" else f"ECAL{L + 1}"
+            if truth_e_range is not None:
+                title += f" ({truth_e_range[0]:g} < E < {truth_e_range[1]:g})"
+
+            ax = axes[0, col]
+            bins = robust_bins(*[s[1] for s in series])
+            for r in comp_res:
+                ax.hist(r, bins=bins, histtype="stepfilled", alpha=0.25, zorder=5)
+            for name, r, style in series:
+                lbl, _ = mean_std_iqr_label(r, 1)
+                ax.hist(r, bins=bins, label=f"{name} {lbl}", zorder=10, **style)
+            ax.set_xlabel(r"$E_X - E_{truth}$ [MeV]")
+            ax.set_title(title)
+            ax.legend(fontsize=6)
+            ax.grid(True)
+
+            ax = axes[1, col]
             with np.errstate(divide="ignore", invalid="ignore"):
-                r = (p - truth) / truth
-            r = r[np.isfinite(r)]
-            if bins is None:
-                bins = robust_bins(r)
-            ax.hist(r, bins=bins, histtype="step", alpha=0.5)
-        p = np.array([np.asarray(x).sum() for x in self.high_e_pred])
-        with np.errstate(divide="ignore", invalid="ignore"):
-            r = (p - truth) / truth
-        r = r[np.isfinite(r)]
-        lbl, _ = mean_std_iqr_label(r)
-        ax.hist(r, bins=bins if bins is not None else 30, histtype="step", ec="k", lw=2, label=f"ensemble avg {lbl}")
-        ax.set_xlabel(r"$(E_{pred} - E_{truth}) / E_{truth}$")
-        ax.legend(fontsize=7)
+                rel_series = [(n, (r / t[sel])[np.isfinite(r / t[sel])], s) for n, r, s in series]
+                rel_comps = [(r / t[sel])[np.isfinite(r / t[sel])] for r in comp_res]
+            bins = robust_bins(*[s[1] for s in rel_series])
+            for r in rel_comps:
+                ax.hist(r, bins=bins, histtype="stepfilled", alpha=0.25, zorder=5)
+            for name, r, style in rel_series:
+                lbl, _ = mean_std_iqr_label(r)
+                ax.hist(r, bins=bins, label=f"{name} {lbl}", zorder=10, **style)
+            ax.set_xlabel(r"$(E_X - E_{truth}) / E_{truth}$")
+            ax.legend(fontsize=6)
+            ax.grid(True)
+        fig.tight_layout()
         if dir:
-            fig.savefig(f"{dir}/residual_event_ens.png")
+            fig.savefig(f"{dir}/residual_event_ensemble.png")
         return fig
 
-    def plot_ensemble_size_comparison(self, sizes=(2, 5, 10), dir=None):
-        """Residual width vs ensemble size (plot_ensembles.py ensemble-size
-        sweep; notebook cell 8 uses n in {2,5,10,25,50,100})."""
+    def plot_ensemble_size_comparison(self, ens_avg_dict=None, sizes=(2, 5, 10), dir=None):
+        """Residual width vs ensemble size, overall and per ECAL layer
+        (plot_ensembles.py:165-289).  Accepts a precomputed
+        ``{size: [per-event arrays]}`` dict (the reference's call style) or
+        computes the averages from the stored components via ``sizes``."""
         import matplotlib.pyplot as plt
 
-        truth = np.array([t.sum() for t in self.high_e_truth])
-        widths, means = [], []
-        usable = [n for n in sizes if n <= len(self.high_e_pred_raw_comp)]
-        for n in usable:
-            avg = self.compute_ensemble_average(n)
-            p = np.array([np.asarray(x).sum() for x in avg])
-            with np.errstate(divide="ignore", invalid="ignore"):
-                r = (p - truth) / truth
-            r = r[np.isfinite(r)]
-            _, (mean, std, iqr) = mean_std_iqr_label(r)
-            widths.append(iqr)
-            means.append(mean)
-        fig, ax = plt.subplots(figsize=(6, 4), dpi=120)
-        ax.plot(usable, widths, "o-", label="IQR")
-        ax.plot(usable, means, "s--", label="mean")
-        ax.set_xlabel("ensemble size")
-        ax.set_ylabel("relative residual")
-        ax.legend()
+        if ens_avg_dict is None:
+            usable = [n for n in sizes if n <= len(self.high_e_pred_raw_comp)]
+            ens_avg_dict = {n: self.compute_ensemble_average(n) for n in usable}
+
+        truth = self._sum_by_layer(self.high_e_truth, self.high_layer)
+        fig, axes = plt.subplots(1, 4, figsize=(18, 4), dpi=120)
+        widths_all = {}
+        for col, L in enumerate(["all", 0, 1, 2]):
+            ns, iqrs, means = [], [], []
+            for n, avg in sorted(ens_avg_dict.items()):
+                p = self._sum_by_layer(avg, self.high_layer)[L]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    r = (p - truth[L]) / truth[L]
+                r = r[np.isfinite(r)]
+                _, (mean, std, iqr) = mean_std_iqr_label(r)
+                ns.append(n)
+                iqrs.append(iqr)
+                means.append(mean)
+            ax = axes[col]
+            ax.plot(ns, iqrs, "o-", label="IQR")
+            ax.plot(ns, means, "s--", label="mean")
+            ax.set_xlabel("ensemble size")
+            ax.set_ylabel("event-sum relative residual")
+            ax.set_title("All layers" if L == "all" else f"ECAL{L + 1}")
+            ax.legend(fontsize=7)
+            ax.grid(True)
+            if L == "all":
+                widths_all = dict(zip(ns, iqrs))
+        fig.tight_layout()
         if dir:
             fig.savefig(f"{dir}/ensemble_size.png")
-        return fig, dict(zip(usable, widths))
+        return fig, widths_all
 
 
 class PFPerformanceCOCOA(PerformanceCOCOA):
@@ -437,55 +495,312 @@ class PFPerformanceCOCOA(PerformanceCOCOA):
         self.high_cardinality = hr["pred_card"]
 
     # ------------------------------------------------------------------
-    def get_rgb(self, inc_wt, ev_i, n_cells):
-        """Per-cell RGB color as the incidence-weight mixture over particle
-        colors (plot_event_displays_pf.py:12-28)."""
-        rgb = np.zeros((n_cells, 3))
-        total = np.zeros((n_cells, 1))
-        for pi in range(self.max_part):
-            if pi not in inc_wt:
-                continue
-            w = np.asarray(inc_wt[pi][ev_i])
-            if len(w) != n_cells:
-                # PF files are threshold-cut subsets of the SR cells; when the
-                # counts disagree the alignment is unknown — skip coloring
-                # (the reference skips such events, plot_event_displays_pf.py:59-66)
-                return np.full((n_cells, 3), 0.6)
-            rgb += w[:, None] * self.pf_colors[pi][None, :]
-            total += w[:, None]
-        total[total == 0] = 1.0
-        return np.clip(rgb / total, 0, 1)
+    PF_E_CUT = 1.0  # MeV — the PF dataset's cell threshold; incidence rows
+    # exist only for cells above it (pf_dataset.py), so all coloring maps
+    # through this cut (plot_event_displays_pf.py e_mask convention)
 
-    def plot_pf_event_display(self, ev_i: int = 0, dir=None):
-        """Cells colored by particle assignment, LR vs HR, per ECAL layer,
-        with truth particle positions overlaid (plot_event_displays_pf.py)."""
+    def get_rgb(self, res, ev_i, argmax=False, threshold=0.0):
+        """Per-cell RGB as the incidence-weight mixture over particle colors
+        (plot_event_displays_pf.py:12-28), for the threshold-cut cell subset.
+
+        ``argmax`` hard-assigns each cell to its dominant particle (the v2
+        display); ``threshold`` whitens cells whose total incidence falls
+        below it (the incidence-threshold panels).  ``res`` is 'lr' or 'hr'.
+        Returns (n_cut_cells, 3) or None when the stored incidence rows do
+        not align with the threshold-cut cells (the reference skips such
+        events)."""
+        inc = self.inc_wt_lr_pf if res == "lr" else self.inc_wt_hr_pf
+        if not inc:
+            return None
+        w = np.stack([np.asarray(inc[pi][ev_i]) for pi in sorted(inc)], axis=-1)
+        # the PF dataset cut uses e_meas_raw (LR) / e_pred_raw, the file-level
+        # direct average (pf_dataset.py:54) — not the recomputed comp average
+        e = self._pf_cut_energy(res, ev_i)
+        if w.shape[0] != int((e > self.PF_E_CUT).sum()):
+            return None
+        if argmax:
+            hard = np.zeros_like(w)
+            hard[np.arange(w.shape[0]), w.argmax(-1)] = 1.0
+            w = hard
+        total = w.sum(-1, keepdims=True)
+        rgb = (w @ self.pf_colors[: w.shape[1]]) / np.maximum(total, 1e-12)
+        rgb = np.clip(rgb, 0, 1)
+        rgb[total[:, 0] < threshold] = 1.0  # below-threshold cells -> white
+        return rgb
+
+    def _pf_cut_energy(self, res, ev_i):
+        return (
+            self.low_e_measured[ev_i]
+            if res == "lr"
+            else np.asarray(self.high_e_pred_direct[ev_i])
+        )
+
+    def _pf_color_image(self, res, ev_i, L, rgb):
+        """White background image at the layer granularity with the
+        threshold-cut cells painted by ``rgb`` (imshow convention: phi rows,
+        eta cols)."""
+        gran = (self.low_gran if res == "lr" else self.high_gran)[L]
+        eta_edges = np.linspace(-3, 3, gran + 1)
+        phi_edges = np.linspace(-np.pi, np.pi, gran + 1)
+        if res == "lr":
+            eta, phi, layer = self.low_eta[ev_i], self.low_phi[ev_i], self.low_layer[ev_i]
+        else:
+            eta, phi, layer = self.high_eta[ev_i], self.high_phi[ev_i], self.high_layer[ev_i]
+        e = self._pf_cut_energy(res, ev_i)
+        img = np.ones((gran, gran, 3))
+        cut = e > self.PF_E_CUT
+        sel = (layer == L)[cut]
+        ie = np.clip(np.digitize(eta[cut][sel], eta_edges) - 1, 0, gran - 1)
+        ip = np.clip(np.digitize(phi[cut][sel], phi_edges) - 1, 0, gran - 1)
+        img[ip, ie] = rgb[sel]
+        return img, (eta_edges[0], eta_edges[-1], phi_edges[0], phi_edges[-1])
+
+    def _pf_energy_panel(self, ax, res, ev_i, L, values, vmin, vmax, cmap):
+        gran = (self.low_gran if res == "lr" else self.high_gran)[L]
+        eta = self.low_eta[ev_i] if res == "lr" else self.high_eta[ev_i]
+        phi = self.low_phi[ev_i] if res == "lr" else self.high_phi[ev_i]
+        layer = self.low_layer[ev_i] if res == "lr" else self.high_layer[ev_i]
+        sel = layer == L
+        return ax.hist2d(
+            eta[sel], phi[sel], weights=np.log1p(np.clip(values[sel], 0, None)),
+            bins=[np.linspace(-3, 3, gran + 1), np.linspace(-np.pi, np.pi, gran + 1)],
+            cmap=cmap, vmin=vmin, vmax=vmax,
+        )[3]
+
+    def _event_window(self, ev_i, pad=0.15):
+        eta = np.concatenate([self.low_eta[ev_i], self.high_eta[ev_i]])
+        phi = np.concatenate([self.low_phi[ev_i], self.high_phi[ev_i]])
+        return (
+            (eta.min() - pad, eta.max() + pad),
+            (phi.min() - pad, phi.max() + pad),
+        )
+
+    def _particle_legend(self, fig_or_ax, n, fontsize=10):
+        from matplotlib.lines import Line2D
+
+        handles = [
+            Line2D([0], [0], marker="o", color="w", markerfacecolor=self.pf_colors[pi],
+                   markersize=12, label=f"Particle {pi + 1}")
+            for pi in range(n)
+        ]
+        fig_or_ax.legend(handles=handles, loc="upper right", frameon=False, fontsize=fontsize)
+
+    def plot_pf_event_display(self, ev_i: int = 0, dir=None, argmax=False, inc_threshold=0.0):
+        """Main PF event display (plot_event_displays_pf.py:32-229): per ECAL
+        layer, [LR measured energy | LR PFlow coloring] next to [HR predicted
+        energy | HR PFlow coloring], with a log(E+1) colorbar, per-particle
+        legend, truth particle positions, and the shared event eta-phi
+        window.  ``argmax=True`` is the v2 hard-assignment display;
+        ``inc_threshold`` whitens weakly-assigned cells."""
         import matplotlib.pyplot as plt
 
-        fig, axes = plt.subplots(2, 3, figsize=(12, 8), dpi=110)
-        for row, (eta, phi, layer, inc) in enumerate(
-            [
-                (self.low_eta[ev_i], self.low_phi[ev_i], self.low_layer[ev_i], self.inc_wt_lr_pf),
-                (self.high_eta[ev_i], self.high_phi[ev_i], self.high_layer[ev_i], self.inc_wt_hr_pf),
-            ]
-        ):
-            rgb = self.get_rgb(inc, ev_i, len(eta)) if inc else np.zeros((len(eta), 3))
-            for L in range(3):
-                ax = axes[row, L]
-                sel = layer == L
-                if sel.sum():
-                    ax.scatter(eta[sel], phi[sel], c=rgb[sel], s=8, marker="s")
+        rgb_lr = self.get_rgb("lr", ev_i, argmax=argmax, threshold=inc_threshold)
+        rgb_hr = self.get_rgb("hr", ev_i, argmax=argmax, threshold=inc_threshold)
+        if rgb_lr is None or rgb_hr is None:
+            return None  # incidence rows misaligned with the e-cut cells
+
+        cmap = plt.get_cmap("plasma_r").copy()
+        cmap.set_under("white")
+        all_e = np.concatenate(
+            [self.low_e_measured[ev_i], self.high_e_truth[ev_i], np.asarray(self.high_e_pred[ev_i])]
+        )
+        vmin, vmax = 1e-3, float(np.log1p(np.clip(all_e, 0, None)).max())
+        (xlo, xhi), (ylo, yhi) = self._event_window(ev_i)
+
+        fig, axes = plt.subplots(3, 4, figsize=(17, 11), dpi=120)
+        for L in range(3):
+            im = self._pf_energy_panel(axes[L, 0], "lr", ev_i, L, self.low_e_measured[ev_i], vmin, vmax, cmap)
+            axes[L, 0].set_ylabel(f"ECAL{L + 1}\n$\\phi$", fontsize=11)
+            img, extent = self._pf_color_image("lr", ev_i, L, rgb_lr)
+            axes[L, 1].imshow(img, extent=extent, origin="lower", aspect="auto")
+            self._pf_energy_panel(axes[L, 2], "hr", ev_i, L, np.asarray(self.high_e_pred[ev_i]), vmin, vmax, cmap)
+            img, extent = self._pf_color_image("hr", ev_i, L, rgb_hr)
+            axes[L, 3].imshow(img, extent=extent, origin="lower", aspect="auto")
+            for c, title in enumerate(["LR Energy (meas)", "LR PFlow", "HR Energy (pred)", "HR PFlow"]):
+                ax = axes[L, c]
+                if L == 0:
+                    ax.set_title(title, fontsize=12)
+                ax.set_xlim(xlo, xhi)
+                ax.set_ylim(ylo, yhi)
+                ax.set_xlabel(r"$\eta$", fontsize=10)
+            for c in (1, 3):  # truth positions on the PF panels
                 for pi in range(len(self.truth_part_eta[ev_i])):
-                    ax.plot(
-                        self.truth_part_eta[ev_i][pi],
-                        self.truth_part_phi[ev_i][pi],
-                        "x",
-                        color=self.pf_colors[pi % len(self.pf_colors)],
-                        markersize=10,
+                    axes[L, c].plot(
+                        self.truth_part_eta[ev_i][pi], self.truth_part_phi[ev_i][pi],
+                        "x", color="k", markersize=9, markeredgewidth=2,
                     )
-                ax.set_title(f"{'LR' if row == 0 else 'HR'} L{L}", fontsize=8)
+        cbar = fig.colorbar(im, ax=axes[:, 0], location="left", shrink=0.8, pad=0.12)
+        cbar.set_label(r"$\ln(E + 1)$", fontsize=12)
+        self._particle_legend(fig, min(self.max_part, len(self.pf_colors)))
+        if dir:
+            tag = "_argmax" if argmax else ""
+            fig.savefig(f"{dir}/ED{tag}_{ev_i}.png")
+        return fig
+
+    def plot_pf_event_display_v2(self, ev_i: int = 0, dir=None):
+        """Hard-assignment (argmax) variant of the main display
+        (plot_event_displays_pf.py:231-429)."""
+        return self.plot_pf_event_display(ev_i, dir=dir, argmax=True)
+
+    def plot_pf_event_display_old(self, ev_i: int = 0, dir=None, verbose=False):
+        """Wide diagnostic display (plot_event_displays_pf.py:431-614): per
+        ECAL layer [LR meas E | HR truth E | HR pred E | PF LR | PF HR |
+        PF LR argmax | PF HR argmax] with per-panel sum/peak annotations."""
+        import matplotlib.pyplot as plt
+
+        rgb = {
+            (res, am): self.get_rgb(res, ev_i, argmax=am)
+            for res in ("lr", "hr") for am in (False, True)
+        }
+        if any(v is None for v in rgb.values()):
+            return None
+
+        cmap = plt.get_cmap("plasma_r").copy()
+        cmap.set_under("white")
+        all_e = np.concatenate(
+            [self.low_e_measured[ev_i], self.high_e_truth[ev_i], np.asarray(self.high_e_pred[ev_i])]
+        )
+        vmin, vmax = 1e-3, float(np.log1p(np.clip(all_e, 0, None)).max())
+        (xlo, xhi), (ylo, yhi) = self._event_window(ev_i)
+
+        def annot(ax, vals):
+            if vals.size:
+                ax.text(0.03, 0.82, f"sum = {vals.sum():.0f} MeV\npeak = {vals.max():.0f} MeV",
+                        transform=ax.transAxes, fontsize=6)
+
+        fig, axes = plt.subplots(3, 7, figsize=(24, 9), dpi=110)
+        fig.suptitle(f"Event {ev_i}", fontsize=14)
+        for L in range(3):
+            self._pf_energy_panel(axes[L, 0], "lr", ev_i, L, self.low_e_measured[ev_i], vmin, vmax, cmap)
+            annot(axes[L, 0], self.low_e_measured[ev_i][self.low_layer[ev_i] == L])
+            self._pf_energy_panel(axes[L, 1], "hr", ev_i, L, self.high_e_truth[ev_i], vmin, vmax, cmap)
+            annot(axes[L, 1], self.high_e_truth[ev_i][self.high_layer[ev_i] == L])
+            self._pf_energy_panel(axes[L, 2], "hr", ev_i, L, np.asarray(self.high_e_pred[ev_i]), vmin, vmax, cmap)
+            annot(axes[L, 2], np.asarray(self.high_e_pred[ev_i])[self.high_layer[ev_i] == L])
+            for c, (res, am) in enumerate([("lr", False), ("hr", False), ("lr", True), ("hr", True)]):
+                img, extent = self._pf_color_image(res, ev_i, L, rgb[(res, am)])
+                axes[L, 3 + c].imshow(img, extent=extent, origin="lower", aspect="auto")
+            for c, title in enumerate(
+                ["LR (meas E)", "HR (truth E)", "HR (pred E)", "PF (LR)", "PF (HR)", "PF (LR) argmax", "PF (HR) argmax"]
+            ):
+                ax = axes[L, c]
+                if L == 0:
+                    ax.set_title(title, fontsize=9)
+                ax.set_xlim(xlo, xhi)
+                ax.set_ylim(ylo, yhi)
+        if verbose:
+            print(f"event {ev_i}")
+            print("truth_part_dep_e [GeV]:", np.asarray(self.truth_part_dep_e[ev_i]) * 1e-3)
+            print("low_part_e [GeV]:", np.asarray(self.low_part_e[ev_i]) * 1e-3)
+            print("high_part_e [GeV]:", np.asarray(self.high_part_e[ev_i]) * 1e-3)
+            print("truth/low/high part_eta:", self.truth_part_eta[ev_i], self.low_part_eta[ev_i], self.high_part_eta[ev_i])
+            print("truth/low/high part_phi:", self.truth_part_phi[ev_i], self.low_part_phi[ev_i], self.high_part_phi[ev_i])
+        if dir:
+            fig.savefig(f"{dir}/ED_wide_{ev_i}.png")
+        return fig
+
+    def plot_pf_event_display_grid(self, ev_indices, dir=None, res="hr", argmax=False):
+        """Multi-event grid of PF colorings, one row per event, one column
+        per ECAL layer (the reference notebook loops plot_pf_event_display
+        over events; this gives the side-by-side overview)."""
+        import matplotlib.pyplot as plt
+
+        rows = []
+        for ev_i in ev_indices:
+            rgb = self.get_rgb(res, ev_i, argmax=argmax)
+            if rgb is not None:
+                rows.append((ev_i, rgb))
+        if not rows:
+            return None
+        fig, axes = plt.subplots(len(rows), 3, figsize=(10, 3 * len(rows)), dpi=110, squeeze=False)
+        for r, (ev_i, rgb) in enumerate(rows):
+            (xlo, xhi), (ylo, yhi) = self._event_window(ev_i)
+            for L in range(3):
+                img, extent = self._pf_color_image(res, ev_i, L, rgb)
+                ax = axes[r, L]
+                ax.imshow(img, extent=extent, origin="lower", aspect="auto")
+                ax.set_xlim(xlo, xhi)
+                ax.set_ylim(ylo, yhi)
+                ax.set_title(f"ev {ev_i} ECAL{L + 1}", fontsize=8)
         fig.tight_layout()
         if dir:
-            fig.savefig(f"{dir}/pf_event_display_ev{ev_i}.png")
+            fig.savefig(f"{dir}/ED_grid_{res}.png")
+        return fig
+
+    def load_truth_incidence(self, truth_path, ev_i):
+        """Row-normalised truth incidence weights over the SR-file HR cell
+        rows (ECAL, LR-grouped order) for one event, from the original
+        dataset file's particle_to_node_idx/weight — the same construction
+        pf_dataset.py uses.  Returns (n_hr_ecal_cells, n_particles)."""
+        hi = root_io.read_tree(
+            truth_path, "High_Tree",
+            ["cell_e", "cell_layer", "particle_to_node_idx", "particle_to_node_weight"],
+            ev_i, ev_i + 1,
+        )
+        lo = root_io.read_tree(truth_path, "Low_Tree", ["high_cell_to_low_cell_edge"], ev_i, ev_i + 1)
+        order = np.asarray(lo["high_cell_to_low_cell_edge"][0], int)
+        layer = np.asarray(hi["cell_layer"][0])[order]
+        ecal_rows = np.nonzero(layer < 3)[0]  # LR-grouped rows kept by the SR cut
+        row_of = np.full(order.size, -1, int)
+        row_of[ecal_rows] = np.arange(ecal_rows.size)
+        pos = np.full(order.size, -1, int)
+        pos[order] = np.arange(order.size)  # original slot -> LR-grouped row
+        n_part = len(hi["particle_to_node_idx"][0])
+        w = np.zeros((ecal_rows.size, n_part))
+        for pi in range(n_part):
+            idxs = np.asarray(hi["particle_to_node_idx"][0][pi], int)
+            wts = np.asarray(hi["particle_to_node_weight"][0][pi], float)
+            rows = row_of[pos[idxs]]
+            ok = rows >= 0
+            np.add.at(w, (rows[ok], pi), wts[ok])
+        row_tot = w.sum(-1, keepdims=True)
+        return w / np.maximum(row_tot, 1e-12)
+
+    def plot_incidence_truth_vs_pred(self, ev_i, truth_path, dir=None):
+        """Truth vs predicted incidence comparison for one event: per ECAL
+        layer, cells colored by the truth incidence mixture next to the
+        predicted mixture, plus a per-particle weight scatter
+        (the truth-vs-pred incidence panels of plot_event_displays_pf.py)."""
+        import matplotlib.pyplot as plt
+
+        pred = self.get_rgb("hr", ev_i)
+        if pred is None:
+            return None
+        # restrict the truth incidence to the PF-threshold cells, using the
+        # same direct-average energy cut the PF file was built with
+        keep = self._pf_cut_energy("hr", ev_i) > self.PF_E_CUT
+        w_true = self.load_truth_incidence(truth_path, ev_i)[keep]
+        inc = self.inc_wt_hr_pf
+        w_pred = np.stack([np.asarray(inc[pi][ev_i]) for pi in sorted(inc)], axis=-1)
+        if w_true.shape[0] != w_pred.shape[0]:
+            return None
+        n_part = min(w_true.shape[1], w_pred.shape[1])
+        rgb_true = np.clip(w_true[:, :n_part] @ self.pf_colors[:n_part], 0, 1)
+
+        (xlo, xhi), (ylo, yhi) = self._event_window(ev_i)
+        fig, axes = plt.subplots(3, 3, figsize=(13, 10), dpi=110)
+        for L in range(3):
+            img, extent = self._pf_color_image("hr", ev_i, L, rgb_true)
+            axes[L, 0].imshow(img, extent=extent, origin="lower", aspect="auto")
+            img, extent = self._pf_color_image("hr", ev_i, L, pred)
+            axes[L, 1].imshow(img, extent=extent, origin="lower", aspect="auto")
+            for c, title in enumerate(["truth incidence", "pred incidence"]):
+                ax = axes[L, c]
+                if L == 0:
+                    ax.set_title(title, fontsize=11)
+                ax.set_xlim(xlo, xhi)
+                ax.set_ylim(ylo, yhi)
+                ax.set_ylabel(f"ECAL{L + 1}")
+            ax = axes[L, 2]
+            for pi in range(n_part):
+                ax.plot(w_true[:, pi], w_pred[:, pi], ".", ms=2, color=self.pf_colors[pi], alpha=0.5)
+            ax.plot([0, 1], [0, 1], "k--", lw=0.5)
+            ax.set_xlabel("truth weight")
+            ax.set_ylabel("pred weight")
+        self._particle_legend(fig, n_part)
+        fig.tight_layout()
+        if dir:
+            fig.savefig(f"{dir}/incidence_truth_vs_pred_{ev_i}.png")
         return fig
 
     def cardinality_confusion(self):

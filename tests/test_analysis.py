@@ -33,8 +33,15 @@ def test_performance_loader_and_plots(sr_pred_files, tmp_path):
     perf.plot_evolution(0, dir=str(tmp_path))
     perf.plot_evolution_raw_nn(0, dir=str(tmp_path))
     perf.plot_residual_event_ens(dir=str(tmp_path))
+    assert os.path.exists(tmp_path / "residual_event_ensemble.png")
+    perf.plot_residual_event_ens(truth_e_range=(0.0, 1e12))  # E-window variant
     fig, widths = perf.plot_ensemble_size_comparison(sizes=(1, 2), dir=str(tmp_path))
     assert 2 in widths
+    # reference call style: precomputed {size: averages} dict
+    fig, widths2 = perf.plot_ensemble_size_comparison(
+        ens_avg_dict={1: perf.compute_ensemble_average(1), 2: perf.compute_ensemble_average(2)}
+    )
+    assert widths2.keys() == widths.keys()
     assert os.path.exists(tmp_path / "residual_event.png")
 
     import matplotlib.pyplot as plt
@@ -157,7 +164,38 @@ def test_pf_performance_joined(sr_pred_files, pf_pred_files, tmp_path):
     assert cm_lr.sum() == 4 and cm_hr.sum() == 4
     res = perf.kinematic_residuals()
     assert "lr_pt" in res and "hr_phi" in res
+
+    # reference plot_event_displays_pf.py surface: main display (soft
+    # mixture), v2 (argmax), wide diagnostic, threshold variant, multi-event
+    # grid, truth-vs-pred incidence panels
     fig = perf.plot_pf_event_display(0, dir=str(tmp_path))
+    assert fig is not None and os.path.exists(tmp_path / "ED_0.png")
+    assert perf.plot_pf_event_display_v2(0, dir=str(tmp_path)) is not None
+    assert perf.plot_pf_event_display(0, inc_threshold=0.3) is not None
+    assert perf.plot_pf_event_display_old(0, dir=str(tmp_path), verbose=True) is not None
+    assert os.path.exists(tmp_path / "ED_wide_0.png")
+    assert perf.plot_pf_event_display_grid([0, 1], dir=str(tmp_path)) is not None
+
+    # incidence coloring invariants: soft weights mix within [0,1]; argmax
+    # rows are pure particle colors
+    rgb_soft = perf.get_rgb("hr", 0)
+    rgb_hard = perf.get_rgb("hr", 0, argmax=True)
+    assert rgb_soft is not None and rgb_soft.min() >= 0 and rgb_soft.max() <= 1
+    colors = perf.pf_colors[: perf.max_part]
+    pure = np.array(
+        [np.isclose(row[None, :], colors, atol=1e-6).all(-1).any() for row in rgb_hard]
+    )
+    assert rgb_hard.shape == rgb_soft.shape and pure.all()
+
+    truth_file = os.path.join(os.path.dirname(sr_paths[0]), "test.h5")
+    w_true = perf.load_truth_incidence(truth_file, 0)
+    assert w_true.shape[0] == len(perf.high_eta[0])  # one row per SR HR cell
+    np.testing.assert_allclose(
+        w_true.sum(-1)[w_true.sum(-1) > 0], 1.0, rtol=1e-6
+    )  # row-normalised
+    fig = perf.plot_incidence_truth_vs_pred(0, truth_file, dir=str(tmp_path))
+    assert fig is not None and os.path.exists(tmp_path / "incidence_truth_vs_pred_0.png")
+
     import matplotlib.pyplot as plt
 
     plt.close("all")
