@@ -246,7 +246,11 @@ def _bwd_dq_kernel(qT_ref, kT_ref, vT_ref, gT_ref, lse_ref, dl_ref, km_ref, qm_r
         sT = lax.dot_general(
             kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        pT = jnp.exp2(jnp.clip(sT - lse, CLIP_LO, CLIP_HI)) * jnp.transpose(km)
+        # recompute p/l with the SAME clip as the forward, then cap at 0:
+        # p_i/l <= 1 in exact math, and when the forward clip saturates
+        # (s > CLIP_HI), clip(s) - lse is the correct bounded exponent while
+        # clip(s - lse) would re-explode to 2^80 and inf the gradients
+        pT = jnp.exp2(jnp.minimum(jnp.clip(sT, CLIP_LO, CLIP_HI) - lse, 0.0)) * jnp.transpose(km)
         # dpT (BK, BQ) = vT^T gT: contract D (half rate, unavoidable)
         dpT = lax.dot_general(
             vT, gT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -292,7 +296,8 @@ def _bwd_dkv_kernel(
         sT = lax.dot_general(
             kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        pT = jnp.exp2(jnp.clip(sT - lse, CLIP_LO, CLIP_HI)) * jnp.transpose(km)
+        # same clipped-then-capped recompute as the dq kernel (see comment there)
+        pT = jnp.exp2(jnp.minimum(jnp.clip(sT, CLIP_LO, CLIP_HI) - lse, 0.0)) * jnp.transpose(km)
         # dvT (D, BK) += gT @ pT^T: contract the BQ axis (dim 1 of both)
         dv_scr[:] += lax.dot_general(
             gT, pT.astype(gT.dtype), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
