@@ -64,9 +64,9 @@ FIXED_STEP_METHODS = {
     "rk4": _rk4_step,
 }
 
-# multistep methods reuse previous evaluations (1 f-eval per step at 2nd
-# order — half the cost of midpoint/heun); handled by odeint_ab2
-MULTISTEP_METHODS = ("ab2",)
+# multistep methods reuse previous evaluations (1 f-eval per step at 2nd/3rd
+# order — half the cost of midpoint/heun); handled by odeint_ab2/odeint_ab3
+MULTISTEP_METHODS = ("ab2", "ab3")
 
 
 def odeint_ab2(f: Callable, y0, ts, store_idx=None):
@@ -123,6 +123,55 @@ def odeint_ab2(f: Callable, y0, ts, store_idx=None):
 
     (_, _, _), ys = lax.scan(body, (y1, f0, h0), (ts[1:-1], ts[2:]))
     return jnp.concatenate([y0[None], y1[None], ys], axis=0)
+
+
+def odeint_ab3(f: Callable, y0, ts, store_idx=None):
+    """Adams-Bashforth-3 on a UNIFORM grid: Heun bootstrap for y1, AB2 for
+    y2, then x_{n+1} = x_n + h(23 f_n - 16 f_{n-1} + 5 f_{n-2})/12 — still
+    one vector-field evaluation per step, 3rd-order accuracy (one more
+    eval-count cut at fixed order over ab2; TODO.md round-2 item).
+
+    The sampler grids are ``linspace(0, 1, n)`` so uniform-step coefficients
+    apply exactly.  Same ``store_idx`` contract as :func:`odeint_ab2`.
+    """
+    ts = jnp.asarray(ts)
+    store = sorted(set(int(i) for i in store_idx)) if store_idx is not None else None
+
+    h = ts[1] - ts[0]
+    f0 = f(ts[0], y0)
+    y1 = y0 + (h / 2) * (f0 + f(ts[1], y0 + h * f0))  # Heun bootstrap
+    f1 = f(ts[1], y1)
+    y2 = y1 + h * (1.5 * f1 - 0.5 * f0)  # uniform-step AB2
+    boot = [y0, y1, y2]
+
+    if store is not None:
+        buf = jnp.stack([y0] * len(store))
+        for s_i, pos in enumerate(store):
+            if pos <= 2:
+                buf = buf.at[s_i].set(boot[pos])
+
+        def body(carry, inp):
+            y, f_nm1, f_nm2, n, buf = carry
+            t_n = inp
+            f_n = f(t_n, y)
+            y_new = y + (h / 12.0) * (23.0 * f_n - 16.0 * f_nm1 + 5.0 * f_nm2)
+            for s_i, pos in enumerate(store):
+                if pos >= 3:
+                    buf = buf.at[s_i].set(jnp.where(n == pos, y_new, buf[s_i]))
+            return (y_new, f_n, f_nm1, n + 1, buf), None
+
+        init = (y2, f1, f0, jnp.array(3, jnp.int32), buf)
+        (_, _, _, _, buf), _ = lax.scan(body, init, ts[2:-1])
+        return buf
+
+    def body(carry, t_n):
+        y, f_nm1, f_nm2 = carry
+        f_n = f(t_n, y)
+        y_new = y + (h / 12.0) * (23.0 * f_n - 16.0 * f_nm1 + 5.0 * f_nm2)
+        return (y_new, f_n, f_nm1), y_new
+
+    (_, _, _), ys = lax.scan(body, (y2, f1, f0), ts[2:-1])
+    return jnp.concatenate([y0[None], y1[None], y2[None], ys], axis=0)
 
 
 def odeint_fixed(f: Callable, y0, ts, method: str = "midpoint"):
@@ -321,6 +370,8 @@ def odeint(f, y0, ts, method: str = "dopri5", rtol: float = 1e-4, atol: float = 
         return odeint_fixed(f, y0, ts, method)
     if method == "ab2":
         return odeint_ab2(f, y0, ts)
+    if method == "ab3":
+        return odeint_ab3(f, y0, ts)
     if method == "dopri5":
         return odeint_dopri5(f, y0, ts, rtol=rtol, atol=atol)
     raise ValueError(f"unknown ODE method {method!r}")

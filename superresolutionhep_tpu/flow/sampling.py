@@ -48,6 +48,10 @@ def generate_samples(
 
     if store_indices is not None and method == "ab2":
         return odeint_ab2(vector_field, x0, ts, store_idx=store_indices)
+    if store_indices is not None and method == "ab3":
+        from .ode import odeint_ab3
+
+        return odeint_ab3(vector_field, x0, ts, store_idx=store_indices)
     if store_indices is not None and method in FIXED_STEP_METHODS:
         return odeint_fixed_store(vector_field, x0, ts, store_indices, method)
 
