@@ -55,6 +55,11 @@ class Dense(nn.Module):
     dropout: float = 0.0
     context_size: int = 0
     dtype: Any = None
+    # matmul precision (None | 'highest').  'highest' forces full-fp32 MXU
+    # passes — used for the geometry embedders, where bf16 matmul inputs
+    # quantize eta/phi below the HR subcell pitch (the reference trains at
+    # torch.set_float32_matmul_precision('highest'), train.py:35,46)
+    precision: Any = None
 
     @classmethod
     def from_config(cls, cfg: dict, dtype=None, **overrides) -> "Dense":
@@ -93,6 +98,7 @@ class Dense(nn.Module):
                 kernel_init=xavier_uniform,
                 bias_init=nn.initializers.zeros,
                 dtype=self.dtype,
+                precision=self.precision,
                 name=f"linear_{i}",
             )(x)
             if not is_final:

@@ -60,9 +60,24 @@ class FlowModel(nn.Module):
             name="layer_emb_net",
         )(layer_tab, context=time_emb, deterministic=deterministic)
 
+        # geometry embedder runs at full fp32 precision regardless of the
+        # compute dtype: bf16 matmul inputs quantize normalized eta (ulp
+        # ~0.008 at |eta|~1.2) BELOW the HR subcell half-pitch (~0.006 at
+        # layer-0 granularity), collapsing sibling subcells — the SR task's
+        # whole signal.  The reference trains with
+        # torch.set_float32_matmul_precision('highest') (train.py:35,46).
+        # O(L x 64) flops: negligible next to the h=256 stack.
         etaphi_emb = Dense.from_config(
-            dict(cfg["etaphi_emb"], context_size=context_size), dtype=self.dtype, name="etaphi_emb_net"
-        )(jnp.concatenate([eta, cosphi, sinphi], axis=-1), context=time_emb, deterministic=deterministic)
+            dict(cfg["etaphi_emb"], context_size=context_size),
+            dtype=None,
+            precision="highest",
+            name="etaphi_emb_net",
+        )(
+            jnp.concatenate([eta, cosphi, sinphi], axis=-1).astype(jnp.float32),
+            context=time_emb.astype(jnp.float32),
+            deterministic=deterministic,
+        )
+        etaphi_emb = etaphi_emb.astype(self.dtype or etaphi_emb.dtype)
 
         e_proxy_emb = Dense.from_config(
             dict(cfg["e_proxy_emb"], context_size=context_size), dtype=self.dtype, name="proxy_emb_net"
