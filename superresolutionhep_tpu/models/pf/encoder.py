@@ -46,8 +46,14 @@ class PFEncoder(nn.Module):
             ],
             axis=-1,
         )
-        x = nn.Dense(h_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="cell_init_0")(feat0)
-        x = nn.leaky_relu(x, negative_slope=0.01)
+        # first (geometry-carrying) matmul at full fp32 precision: bf16
+        # matmul inputs quantize normalized eta below the HR cell pitch
+        # (see flow_model.py etaphi_emb note; reference trains at
+        # torch float32_matmul_precision 'highest')
+        x = nn.Dense(
+            h_dim, kernel_init=xavier_uniform, dtype=None, precision="highest", name="cell_init_0"
+        )(feat0.astype(jnp.float32))
+        x = nn.leaky_relu(x, negative_slope=0.01).astype(self.dtype or feat0.dtype)
         x = nn.Dense(h_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="cell_init_1")(x)
 
         global_feat = masked_mean(x, cell_mask, axis=1, psum_axis=self.sp_axis)
