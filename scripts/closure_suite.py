@@ -62,10 +62,14 @@ def generate(outdir, n_train, n_val, n_test):
     return paths
 
 
-def write_configs(outdir, paths, epochs):
+def write_configs(outdir, paths, epochs, fourier=0):
     from scripts.compute_scale import compute_target_stats
 
     mv = yaml.safe_load(open("configs/single_e/model_and_var_synth.yml"))
+    if fourier:
+        # optional multi-scale geometry features (flow_model.py): resolves
+        # the subcell-pitch structure a plain coordinate MLP cannot express
+        mv["flow_model"]["etaphi_emb"]["fourier_features"] = int(fourier)
     mean, std = compute_target_stats(paths["train"], entry_stop=512)
     mv["target_transform"]["mean"] = round(mean, 6)
     mv["target_transform"]["std"] = round(std, 6)
@@ -211,19 +215,23 @@ def main():
     ap.add_argument("--n-ensemble", type=int, default=10)
     ap.add_argument("--n-steps", type=int, default=25)
     ap.add_argument("--ode-method", default="ab2")
+    ap.add_argument("--fourier", type=int, default=0, help="fourier_features octaves (0 = exact reference architecture)")
+    ap.add_argument("--train-glob", default=None, help="override train path (e.g. pre-generated multi-file set)")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
     paths = generate(args.outdir, args.n_train, args.n_val, args.n_test)
+    if args.train_glob:
+        paths["train"] = args.train_glob
     mv_path = os.path.join(args.outdir, "model_and_var.yml")
     tr_path = os.path.join(args.outdir, "train.yml")
     pred_path = os.path.join(args.outdir, "pred_test.h5")
 
     if not args.eval_only:
         if not os.path.exists(mv_path):
-            mv_path, tr_path = write_configs(args.outdir, paths, args.epochs)
+            mv_path, tr_path = write_configs(args.outdir, paths, args.epochs, fourier=args.fourier)
         if not args.skip_train:
             train(mv_path, tr_path, args.outdir)
         pred_path = infer(

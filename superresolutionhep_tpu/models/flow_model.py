@@ -62,21 +62,34 @@ class FlowModel(nn.Module):
 
         # geometry embedder runs at full fp32 precision regardless of the
         # compute dtype: bf16 matmul inputs quantize normalized eta (ulp
-        # ~0.008 at |eta|~1.2) BELOW the HR subcell half-pitch (~0.006 at
-        # layer-0 granularity), collapsing sibling subcells — the SR task's
-        # whole signal.  The reference trains with
+        # ~0.008 at |eta|~1.2) near the HR subcell half-pitch (~0.006 at
+        # layer-0 granularity), eroding sibling-subcell contrast — the SR
+        # task's whole signal.  The reference trains with
         # torch.set_float32_matmul_precision('highest') (train.py:35,46).
         # O(L x 64) flops: negligible next to the h=256 stack.
+        geo = jnp.concatenate([eta, cosphi, sinphi], axis=-1).astype(jnp.float32)
+        # optional multi-scale Fourier features (etaphi_emb.fourier_features:
+        # K octaves) — absent from every reference config, so the default
+        # path is exactly the reference architecture.  A plain MLP on raw
+        # coordinates cannot express the subcell-pitch-scale structure the
+        # SR target carries (it would need ~HR-granularity many linear
+        # regions along eta); sin/cos at octave frequencies make the
+        # intra-parent subcell position linearly available (the NeRF
+        # positional-encoding remedy for coordinate-MLP spectral bias).
+        n_fourier = int(cfg["etaphi_emb"].get("fourier_features", 0) or 0)
+        if n_fourier:
+            freqs = (2.0 ** jnp.arange(n_fourier)) * jnp.pi  # (K,) octaves
+            phi_ang = jnp.arctan2(sinphi, cosphi).astype(jnp.float32)
+            ang = jnp.concatenate(
+                [eta.astype(jnp.float32) * freqs, phi_ang * freqs], axis=-1
+            )  # (..., 2K)
+            geo = jnp.concatenate([geo, jnp.sin(ang), jnp.cos(ang)], axis=-1)
         etaphi_emb = Dense.from_config(
             dict(cfg["etaphi_emb"], context_size=context_size),
             dtype=None,
             precision="highest",
             name="etaphi_emb_net",
-        )(
-            jnp.concatenate([eta, cosphi, sinphi], axis=-1).astype(jnp.float32),
-            context=time_emb.astype(jnp.float32),
-            deterministic=deterministic,
-        )
+        )(geo, context=time_emb.astype(jnp.float32), deterministic=deterministic)
         etaphi_emb = etaphi_emb.astype(self.dtype or etaphi_emb.dtype)
 
         e_proxy_emb = Dense.from_config(
