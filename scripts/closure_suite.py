@@ -94,6 +94,9 @@ def write_configs(outdir, paths, epochs, fourier=0):
         batch_size_train=64,
         batch_size_val=64,
         learningrate=1.0e-3,
+        # the sharp generator's saturated-logit tails produce occasional
+        # huge-gradient batches; clip like the reference's PF stage does
+        grad_clip_norm=1.0,
     )
     tr["lr_scheduler"] = dict(
         name="CustomLRScheduler",
