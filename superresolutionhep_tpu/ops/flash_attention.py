@@ -20,16 +20,16 @@ same treatment: dq/dk/dv are all produced as full-rate (D, L)-shaped
 matmuls; only the score recompute and dp stay at the unavoidable D=64
 half rate.
 
-Softmax: no running max.  Scores are base-2 logits (scale * log2(e) folded
-into Q outside the kernel, XLA-fused into the projection); the kernel takes
-p = exp2(clip(s, -126, 80)) * key_mask — the clip bounds fp32 overflow
-(sum l <= L * 2^80 << 2^128) and the multiplicative mask zeroes padded keys
-exactly.  Softmax is shift-invariant, so this is exact whenever row logits
-lie in (-126, 80) — guaranteed by the LayerNorm-bounded activations of
-every shipped config (and the trainers' finite-loss guard catches the
-divergent regime where it wouldn't be).  Dropping the max removes the only
-expensive VPU op (a cross-lane reduction measured at ~20% of kernel time)
-and the cross-block rescale chain.
+Softmax: standard online softmax with a running max.  Scores are base-2
+logits (scale * log2(e) folded into Q outside the kernel, XLA-fused into
+the projection); padding enters as an additive -1e30 bias from the key
+mask.  A clipped no-max exp2 was tried (saves the ~10-15% max-reduction
+cost) and REJECTED: the clip is a one-way door during training — once a
+row's logits drift past the bound the softmax saturates uniform, the
+restoring gradient through attention vanishes, and the model diverges
+(observed as 1e14 raw grad norms in the round-2 closure runs).  The
+backward recomputes p = exp2(min(s - lse, 0)) from the saved true LSE —
+exact, and the cap keeps all-dead query columns finite.
 
 Fully-padded Q/K blocks skip all compute, so cost tracks the actual event
 length under bucketed padding.  fp32 accumulation via
@@ -52,11 +52,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-
-# exp2 clip bounds: HI keeps l = sum(p) < L * 2^80 finite in fp32; LO is the
-# fp32 denormal boundary (contributions below 2^-126 are exact zeros on TPU)
-CLIP_LO = -126.0
-CLIP_HI = 80.0
+BIG = 1e30
 
 # forward: sT tile is (BK, BQ) fp32 — cap its VMEM footprint
 MAX_BLOCK_Q = 3584
@@ -112,22 +108,30 @@ def _interpret() -> bool:
 
 
 def _fwd_kernel(qT_ref, kT_ref, vT_ref, km_ref, qm_ref, oT_ref, *rest, with_lse):
-    """Grid (B, H, nQ, nK) with nK innermost/sequential; l/acc carry lives in
-    VMEM scratch across the K-block sweep.
+    """Grid (B, H, nQ, nK) with nK innermost/sequential; online-softmax
+    (m, l, acc) carry lives in VMEM scratch across the K-block sweep.
 
     Blocks arrive transposed: qT (D, BQ), kT/vT (D, BK).  sT = kT^T qT is
     (BK, BQ); the PV matmul vT @ pT contracts the full BK depth and emits
     the full-width (D, BQ) accumulator in one MXU pass.
+
+    The running max is kept (standard online softmax) rather than a clipped
+    no-max exp: a clip is a one-way door during training — once logits
+    drift past the bound the softmax saturates uniform, the restoring
+    gradient through attention vanishes, and the model diverges (observed:
+    raw grad norms 1e14 in the round-2 closure run).  The max reduction is
+    over the sublane (BK) axis here and costs ~10% of kernel time.
     """
     if with_lse:
-        lse_ref, l_scr, acc_scr = rest
+        lse_ref, m_scr, l_scr, acc_scr = rest
     else:
-        lse_ref, (l_scr, acc_scr) = None, rest
+        lse_ref, (m_scr, l_scr, acc_scr) = None, rest
     j = pl.program_id(3)
     n_k = pl.num_programs(3)
 
     @pl.when(j == 0)
     def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
@@ -145,12 +149,17 @@ def _fwd_kernel(qT_ref, kT_ref, vT_ref, km_ref, qm_ref, oT_ref, *rest, with_lse)
         sT = lax.dot_general(
             kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
-        pT = jnp.exp2(jnp.clip(sT, CLIP_LO, CLIP_HI)) * jnp.transpose(km)
-        l_scr[:] += pT.sum(axis=0, keepdims=True)  # (1, BQ)
+        sT = sT + jnp.transpose(km - 1.0) * BIG  # additive pad mask (BK, 1)
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, sT.max(axis=0, keepdims=True))  # (1, BQ)
+        pT = jnp.exp2(sT - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + pT.sum(axis=0, keepdims=True)
         # acc (D, BQ) += vT @ pT: full-depth BK contraction, full-width output
-        acc_scr[:] += lax.dot_general(
+        acc_scr[:] = acc_scr[:] * alpha + lax.dot_general(
             vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
+        m_scr[:] = m_new
 
     @pl.when(j == n_k - 1)
     def _finalize():
@@ -159,9 +168,9 @@ def _fwd_kernel(qT_ref, kT_ref, vT_ref, km_ref, qm_ref, oT_ref, *rest, with_lse)
         out = out * (qm > 0)  # zero padded queries ((1, BQ) row broadcast)
         oT_ref[0, 0] = out.astype(oT_ref.dtype)
         if with_lse:
-            # base-2 LSE per query column; all-dead columns bottom out at
-            # log2(1e-30) and backward's clip keeps their recompute finite
-            lse_ref[0, 0] = jnp.log2(jnp.maximum(l, 1e-30))
+            # true base-2 LSE per query column; all-dead columns bottom out
+            # hugely negative and backward's exponent cap keeps them finite
+            lse_ref[0, 0] = m_scr[:] + jnp.log2(jnp.maximum(l, 1e-30))
 
 
 def _flash_fwd(qT, kT, vT, qm, km, with_lse=True):
@@ -198,8 +207,9 @@ def _flash_fwd(qT, kT, vT, qm, km, with_lse=True):
         ],
         out_specs=out_spec,
         scratch_shapes=[
-            pltpu.VMEM((1, BQ), jnp.float32),
-            pltpu.VMEM((D, BQ), jnp.float32),
+            pltpu.VMEM((1, BQ), jnp.float32),  # running max m
+            pltpu.VMEM((1, BQ), jnp.float32),  # running sum l
+            pltpu.VMEM((D, BQ), jnp.float32),  # output accumulator
         ],
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * Lq * Lk * D,
@@ -245,12 +255,11 @@ def _bwd_dq_kernel(qT_ref, kT_ref, vT_ref, gT_ref, lse_ref, dl_ref, km_ref, qm_r
 
         sT = lax.dot_general(
             kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # recompute p/l with the SAME clip as the forward, then cap at 0:
-        # p_i/l <= 1 in exact math, and when the forward clip saturates
-        # (s > CLIP_HI), clip(s) - lse is the correct bounded exponent while
-        # clip(s - lse) would re-explode to 2^80 and inf the gradients
-        pT = jnp.exp2(jnp.minimum(jnp.clip(sT, CLIP_LO, CLIP_HI) - lse, 0.0)) * jnp.transpose(km)
+        ) + jnp.transpose(km - 1.0) * BIG
+        # recompute p = exp2(s - lse), capped at 0: p_i/l <= 1 in exact
+        # math; the cap keeps all-dead query columns (lse ~ -1e30) finite —
+        # their cotangents are zero so the capped p never contributes
+        pT = jnp.exp2(jnp.minimum(sT - lse, 0.0))
         # dpT (BK, BQ) = vT^T gT: contract D (half rate, unavoidable)
         dpT = lax.dot_general(
             vT, gT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
@@ -295,9 +304,9 @@ def _bwd_dkv_kernel(
 
         sT = lax.dot_general(
             kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        # same clipped-then-capped recompute as the dq kernel (see comment there)
-        pT = jnp.exp2(jnp.minimum(jnp.clip(sT, CLIP_LO, CLIP_HI) - lse, 0.0)) * jnp.transpose(km)
+        ) + jnp.transpose(km - 1.0) * BIG
+        # same capped recompute as the dq kernel (see comment there)
+        pT = jnp.exp2(jnp.minimum(sT - lse, 0.0))
         # dvT (D, BK) += gT @ pT^T: contract the BQ axis (dim 1 of both)
         dv_scr[:] += lax.dot_general(
             gT, pT.astype(gT.dtype), (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
