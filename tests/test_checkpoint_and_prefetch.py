@@ -49,3 +49,36 @@ def test_checkpoint_best_selection_and_load_params(tmp_path):
     np.testing.assert_allclose(np.asarray(out["params"]["w"]), np.arange(4.0) + 1)
     out_last = load_params(str(tmp_path / "ck" / "last"))
     np.testing.assert_allclose(np.asarray(out_last["params"]["w"]), np.arange(4.0) + 3)
+
+
+def test_shipped_closure_checkpoint_loads_and_runs():
+    """The shipped trained SR checkpoint (saved_checkpoints/closure_sr, the
+    39x closure winner) must load against its shipped config and produce
+    finite velocities — the 'user finds trained checkpoints' surface
+    (SURVEY component #33)."""
+    import os
+
+    import flax.serialization as fser
+    import jax
+    import yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..", "saved_checkpoints", "closure_sr")
+    if not os.path.isdir(root):
+        pytest.skip("no shipped checkpoint")
+    mv = yaml.safe_load(open(os.path.join(root, "model_and_var.yml")))
+
+    from superresolutionhep_tpu.models.flow_model import FlowModel
+
+    model = FlowModel(config=mv["flow_model"], attn_impl="xla")
+    B, N = 1, 64
+    batch = {
+        "eta": jnp.zeros((B, N, 1)), "cosphi": jnp.ones((B, N, 1)),
+        "sinphi": jnp.zeros((B, N, 1)), "layer": jnp.zeros((B, N, 1), jnp.int32),
+        "e_proxy": jnp.zeros((B, N, 1)), "q_mask": jnp.ones((B, N), bool),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch, jnp.zeros((B, N, 1)), jnp.zeros((B,)))
+    with open(os.path.join(root, "params.msgpack"), "rb") as f:
+        params = fser.from_bytes(variables["params"], f.read())
+    out = model.apply({"params": params}, batch, jnp.zeros((B, N, 1)), jnp.full((B,), 0.5))
+    assert out.shape == (B, N, 1)
+    assert bool(jnp.isfinite(out).all())
