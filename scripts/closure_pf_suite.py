@@ -138,7 +138,7 @@ def infer_pf(outdir, globs, mv_path, t_path):
     return pred_path
 
 
-def evaluate(pred_path):
+def evaluate(pred_path, sr_test_glob=None):
     tree = root_io.read_tree(pred_path, "Particle_Tree")
     truth_card = np.asarray(tree["truth_card"])
     pred_card = np.asarray(tree["pred_card"])
@@ -175,9 +175,38 @@ def evaluate(pred_path):
     }
 
     # incidence closeness on matched particles: mean |w_pred - w_true| per
-    # (cell, particle) using the truth e_part shares as reference
+    # (cell, particle), truth weights from the per-particle energy branches
+    # of the SR-out file the PF dataset trained on (PF inference aligns the
+    # predicted particle order to truth via the matching)
     inc_keys = sorted(k for k in tree if k.startswith("pred_inc_wt_"))
     out["n_incidence_branches"] = len(inc_keys)
+    if inc_keys and sr_test_glob and globlib.glob(sr_test_glob):
+        srf = sorted(globlib.glob(sr_test_glob))[0]
+        n_part = len(inc_keys)
+        low = root_io.read_tree(
+            srf, "Low_Tree", ["e_meas_raw"] + [f"e_part_{i}" for i in range(n_part)]
+        )
+        idx = np.asarray(tree["idx"])
+        abs_err, n_terms = 0.0, 0
+        for row, ev in enumerate(idx):
+            e = np.asarray(low["e_meas_raw"][ev], np.float64)
+            keep = e > 1.0  # the PF dataset's MeV threshold
+            ep = np.stack(
+                [np.asarray(low[f"e_part_{i}"][ev], np.float64)[keep] for i in range(n_part)],
+                axis=-1,
+            )
+            tot = ep.sum(-1, keepdims=True)
+            w_true = ep / np.maximum(tot, 1e-12)
+            w_pred = np.stack(
+                [np.asarray(tree[k][row], np.float64) for k in inc_keys], axis=-1
+            )
+            if w_pred.shape[0] != w_true.shape[0]:
+                continue
+            ncard = int(truth_card[row])
+            m = (tot[:, 0] > 0)[:, None] & (np.arange(n_part)[None, :] < ncard)
+            abs_err += float(np.abs(w_pred - w_true)[m].sum())
+            n_terms += int(m.sum())
+        out["incidence_mae"] = abs_err / max(n_terms, 1)
     return out
 
 
@@ -205,7 +234,9 @@ def main():
         mv_path, t_path = train_pf(args.outdir, globs, args.epochs)
         pred_path = infer_pf(args.outdir, globs, mv_path, t_path)
 
-    metrics = evaluate(pred_path)
+    metrics = evaluate(
+        pred_path, sr_test_glob=os.path.join(args.outdir, "sr_out", "test", "test_pred_*_*.h5")
+    )
     metrics["generator"] = GEN
     metrics["gate_cardinality_ge_0p8"] = metrics["cardinality_accuracy"] >= 0.8
     out_path = os.path.join(args.outdir, "closure_pf_metrics.json")
