@@ -49,15 +49,30 @@ GEN = dict(
     e_max_gev=100.0,
 )
 
+# hard mode: multiple overlapping showers per event (same sharp deterministic
+# conditional structure; the model must separate superposed profiles)
+GEN_MULTI = dict(
+    single_electron=False,
+    min_particles=2,
+    max_particles=4,
+    shower_sigma_cells=0.6,
+    split_noise=0.0,
+    noise_frac=0.005,
+    window_lr_cells=2,
+    e_min_gev=20.0,
+    e_max_gev=100.0,
+)
 
-def generate(outdir, n_train, n_val, n_test):
+
+def generate(outdir, n_train, n_val, n_test, gen=None):
+    gen = gen or GEN
     os.makedirs(os.path.join(outdir, "data"), exist_ok=True)
     paths = {}
     for split, n, seed in [("train", n_train, 11), ("val", n_val, 12), ("test", n_test, 13)]:
         p = os.path.join(outdir, "data", f"{split}.h5")
         if not os.path.exists(p):
             print(f"[gen] {split}: {n} events -> {p}")
-            write_synthetic_file(p, n, seed=seed, config=GeneratorConfig(**GEN))
+            write_synthetic_file(p, n, seed=seed, config=GeneratorConfig(**gen))
         paths[split] = p
     return paths
 
@@ -119,11 +134,11 @@ def train(mv_path, tr_path, outdir):
     train_main(["-cmv", mv_path, "-ct", tr_path, "--run_dir", os.path.join(outdir, "run"), "--debug_mode"])
 
 
-def infer(mv_path, tr_path, outdir, paths, n_ensemble, n_steps, ode_method):
+def infer(mv_path, tr_path, outdir, paths, n_ensemble, n_steps, ode_method, max_particles=1):
     inf_cfg = {
         "dataset": "single_e",
         "batch_size": 64,
-        "max_particles": 1,
+        "max_particles": max_particles,
         "model": {
             "config_path_mv": mv_path,
             "config_path_t": tr_path,
@@ -151,7 +166,7 @@ def infer(mv_path, tr_path, outdir, paths, n_ensemble, n_steps, ode_method):
     from superresolutionhep_tpu.inference.sr import SRInference
 
     inf = SRInference(inf_cfg)
-    inf.run_pred(dict(inf_cfg["items"][0], batch_size=64, max_particles=1))
+    inf.run_pred(dict(inf_cfg["items"][0], batch_size=64, max_particles=max_particles))
     return inf_cfg["items"][0]["pred_path"]
 
 
@@ -219,13 +234,15 @@ def main():
     ap.add_argument("--n-steps", type=int, default=25)
     ap.add_argument("--ode-method", default="ab2")
     ap.add_argument("--fourier", type=int, default=0, help="fourier_features octaves (0 = exact reference architecture)")
+    ap.add_argument("--multipart", action="store_true", help="overlapping-shower generator (hard mode)")
     ap.add_argument("--train-glob", default=None, help="override train path (e.g. pre-generated multi-file set)")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     args = ap.parse_args()
 
     os.makedirs(args.outdir, exist_ok=True)
-    paths = generate(args.outdir, args.n_train, args.n_val, args.n_test)
+    gen = GEN_MULTI if args.multipart else GEN
+    paths = generate(args.outdir, args.n_train, args.n_val, args.n_test, gen=gen)
     if args.train_glob:
         paths["train"] = args.train_glob
     mv_path = os.path.join(args.outdir, "model_and_var.yml")
@@ -238,11 +255,12 @@ def main():
         if not args.skip_train:
             train(mv_path, tr_path, args.outdir)
         pred_path = infer(
-            mv_path, tr_path, args.outdir, paths, args.n_ensemble, args.n_steps, args.ode_method
+            mv_path, tr_path, args.outdir, paths, args.n_ensemble, args.n_steps, args.ode_method,
+            max_particles=gen.get("max_particles", 1),
         )
 
     metrics = evaluate(paths["test"], pred_path)
-    metrics["generator"] = GEN
+    metrics["generator"] = gen
     metrics["gate_iqr_ratio_ge_1p5"] = metrics["iqr_ratio"] >= 1.5
     out_path = os.path.join(args.outdir, "closure_metrics.json")
     json.dump(metrics, open(out_path, "w"), indent=2)
