@@ -1,0 +1,123 @@
+"""Online serving endpoint: event-in, prediction-out through the persistent
+compiled sampler (inference/server.py), core path + HTTP round trip."""
+
+import json
+import os
+import sys
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+import yaml
+
+pytestmark = pytest.mark.slow
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    from test_pf_pipeline import make_configs
+    from superresolutionhep_tpu.data.synthetic import GeneratorConfig, write_synthetic_file
+    from superresolutionhep_tpu.inference.server import SRServer
+    from superresolutionhep_tpu.train.sr_trainer import SRTrainer
+
+    d = tmp_path_factory.mktemp("serve")
+    truth = write_synthetic_file(
+        str(d / "ev.h5"), n_events=2, seed=9,
+        config=GeneratorConfig(single_electron=True, window_lr_cells=1),
+    )
+    config_mv, config_t = make_configs(truth, truth, str(d / "run"))
+    mv_path, t_path = str(d / "mv.yml"), str(d / "t.yml")
+    yaml.safe_dump(config_mv, open(mv_path, "w"))
+    yaml.safe_dump(config_t, open(t_path, "w"))
+    trainer = SRTrainer(config_mv, config_t, run_dir=str(d / "run"), seed=0)
+
+    srv = SRServer(
+        {
+            "model": {"config_path_mv": mv_path, "config_path_t": t_path,
+                      "checkpoint_path": None, "n_steps": 3, "n_steps_to_store": 1},
+            "n_ensemble": 2,
+            "ode_method": "midpoint",
+        },
+        buckets=(256,),
+        params=trainer.state.params,
+    )
+    return srv, truth
+
+
+def _event_from_file(truth, idx=0):
+    from superresolutionhep_tpu.data import root_io
+    from superresolutionhep_tpu.inference.server import LOW_KEYS
+
+    low = root_io.read_tree(truth, "Low_Tree", list(LOW_KEYS) + ["high_cell_to_low_cell_edge"], idx, idx + 1)
+    high = root_io.read_tree(truth, "High_Tree", list(LOW_KEYS), idx, idx + 1)
+    ev = {
+        "low": {k: np.asarray(low[k][0]).tolist() for k in LOW_KEYS},
+        "high": {k: np.asarray(high[k][0]).tolist() for k in LOW_KEYS if k != "cell_e"},
+    }
+    ev["low"]["high_cell_to_low_cell_edge"] = np.asarray(low["high_cell_to_low_cell_edge"][0]).tolist()
+    return ev
+
+
+def test_predict_event_core(server):
+    srv, truth = server
+    ev = _event_from_file(truth, 0)
+    out = srv.predict_event(ev)
+    n = out["n_cells"]
+    assert n > 0 and out["bucket"] == 256
+    assert len(out["e_pred_raw"]) == n == len(out["eta"]) == len(out["layer"])
+    assert np.isfinite(out["e_pred_raw"]).all()
+    assert all(l in (0, 1, 2) for l in out["layer"])  # ECAL cut applied
+    # energy conservation within the transform's saturation bounds: each
+    # prediction is a share of its parent LR energy (x f headroom)
+    assert min(out["e_pred_raw"]) >= 0.0
+
+
+def test_http_round_trip(server):
+    srv, truth = server
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    t = threading.Thread(target=srv.serve, kwargs={"port": port}, daemon=True)
+    t.start()
+    import time
+
+    deadline = time.time() + 20
+    while time.time() < deadline:
+        try:
+            with urllib.request.urlopen(f"http://127.0.0.1:{port}/health", timeout=2) as r:
+                assert json.load(r)["ok"]
+            break
+        except Exception:
+            time.sleep(0.3)
+    else:
+        pytest.fail("server did not come up")
+
+    ev = _event_from_file(truth, 1)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict",
+        data=json.dumps(ev).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        out = json.load(r)
+    assert "e_pred_raw" in out and out["n_cells"] == len(out["e_pred_raw"])
+    assert out["total_ms"] > 0
+
+    # malformed request -> clean 400 with an error payload
+    bad = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=b"{}",
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(bad, timeout=60)
+        pytest.fail("expected HTTPError")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "error" in json.load(e)
