@@ -94,9 +94,18 @@ def load_params(path: str) -> Any:
     """Resolve a checkpoint path flexibly and return the saved state.
 
     Accepts: a direct Orbax item dir; a CheckpointManager root (picks the
-    best step, falling back to the latest); or ``<root>/best`` / ``<root>/last``.
+    best step, falling back to the latest); ``<root>/best`` / ``<root>/last``;
+    or a flax-serialized ``.msgpack`` params blob (the shipped-checkpoint
+    format under saved_checkpoints/).
     """
     p = os.path.abspath(path)
+
+    if p.endswith(".msgpack"):
+        from flax.serialization import msgpack_restore
+
+        with open(p, "rb") as f:
+            tree = msgpack_restore(f.read())
+        return tree if "params" in tree else {"params": tree}
 
     def _try(d):
         """Restore as plain numpy arrays — immune to device-topology changes

@@ -82,3 +82,20 @@ def test_shipped_closure_checkpoint_loads_and_runs():
     out = model.apply({"params": params}, batch, jnp.zeros((B, N, 1)), jnp.full((B,), 0.5))
     assert out.shape == (B, N, 1)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_load_params_msgpack_blob():
+    """load_params accepts the shipped .msgpack format directly, so the
+    standard inference configs can point checkpoint_path at it."""
+    import os
+
+    from superresolutionhep_tpu.train.checkpoint import load_params
+
+    p = os.path.join(
+        os.path.dirname(__file__), "..", "saved_checkpoints", "closure_sr", "params.msgpack"
+    )
+    if not os.path.exists(p):
+        pytest.skip("no shipped checkpoint")
+    state = load_params(p)
+    assert "params" in state
+    assert "etaphi_emb_net" in state["params"]
