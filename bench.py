@@ -24,8 +24,11 @@ N_STEPS = 25
 N_ENSEMBLE = 10
 N_EVENTS = 256
 METHOD = "ab2"  # 2nd-order multistep: 1 model eval per step (see flow/ode.py)
-MEASURED_CHIP_TFS = 56.2  # large-matmul bf16 rate measured on this chip
-                          # (scripts/kernel_experiments.py mxu_4096_matmul)
+MEASURED_CHIP_TFS = 96.9  # large-matmul bf16 rate measured on this chip with
+                          # 50 chained 4096^2 matmuls inside one jit (per-call
+                          # dispatch over the axon tunnel pollutes naive
+                          # timing); nominal v5e peak is 197 — this instance
+                          # delivers half
 
 
 def main():
