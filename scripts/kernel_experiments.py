@@ -143,10 +143,17 @@ def run_variant(mode, B=8, L=2048, H=8, D=64, BQ=1024, BK=1024, reps=20):
                       "tfs": round(flops / dt / 1e12, 1)}))
 
 
+def _safe(fn, *a, **k):
+    try:
+        fn(*a, **k)
+    except Exception as e:  # VMEM OOM at large tiles etc. — keep sweeping
+        print(json.dumps({"skipped": str(e)[:120]}))
+
+
 if __name__ == "__main__":
-    mm_peak()
+    _safe(mm_peak)
     for mode in ["matmuls_only", "no_max", "full", "fp32_exp"]:
-        run_variant(mode)
-    run_variant("full", BQ=512, BK=1024)
-    run_variant("full", BQ=2048, BK=2048)
-    run_variant("full", BQ=512, BK=512)
+        _safe(run_variant, mode)
+    _safe(run_variant, "full", BQ=512, BK=1024)
+    _safe(run_variant, "full", BQ=2048, BK=2048)  # exceeds scoped VMEM: skips
+    _safe(run_variant, "full", BQ=512, BK=512)
