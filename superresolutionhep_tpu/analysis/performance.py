@@ -512,7 +512,10 @@ class PFPerformanceCOCOA(PerformanceCOCOA):
         inc = self.inc_wt_lr_pf if res == "lr" else self.inc_wt_hr_pf
         if not inc:
             return None
-        w = np.stack([np.asarray(inc[pi][ev_i]) for pi in sorted(inc)], axis=-1)
+        rows = [np.asarray(inc[pi][ev_i]) for pi in sorted(inc)]
+        if len({r.shape[0] for r in rows}) != 1:
+            return None  # ragged incidence rows across particles: skip event
+        w = np.stack(rows, axis=-1)
         # the PF dataset cut uses e_meas_raw (LR) / e_pred_raw, the file-level
         # direct average (pf_dataset.py:54) — not the recomputed comp average
         e = self._pf_cut_energy(res, ev_i)

@@ -28,7 +28,9 @@ class BatchPrefetcher(Iterator[R]):
     - In-order delivery: results come back in submission order even when
       later items finish first.
     - Errors raised inside ``prepare`` propagate to the consumer at the
-      position of the failing item; remaining work is cancelled.
+      position of the failing item; remaining work is cancelled and the same
+      error is re-raised on every subsequent ``next()`` (never a silent
+      StopIteration after a failure).
     """
 
     def __init__(
@@ -45,6 +47,7 @@ class BatchPrefetcher(Iterator[R]):
         self._pool: ThreadPoolExecutor | None = None
         self._inflight: deque = deque()
         self._closed = False
+        self._error: BaseException | None = None
 
     def __iter__(self) -> "BatchPrefetcher[R]":
         return self
@@ -61,6 +64,8 @@ class BatchPrefetcher(Iterator[R]):
     def __next__(self) -> R:
         if self._num_workers <= 0:
             return self._prepare(next(self._items))
+        if self._error is not None:
+            raise self._error
         if self._closed:
             raise StopIteration
         if self._pool is None:
@@ -74,7 +79,8 @@ class BatchPrefetcher(Iterator[R]):
         fut = self._inflight.popleft()
         try:
             result = fut.result()
-        except BaseException:
+        except BaseException as e:
+            self._error = e
             self._shutdown(cancel=True)
             raise
         self._fill()

@@ -133,8 +133,15 @@ def odeint_ab3(f: Callable, y0, ts, store_idx=None):
 
     The sampler grids are ``linspace(0, 1, n)`` so uniform-step coefficients
     apply exactly.  Same ``store_idx`` contract as :func:`odeint_ab2`.
+
+    Grids shorter than 3 points cannot host the AB3 bootstrap (the y2 step
+    would integrate past the grid); they delegate to :func:`odeint_ab2`,
+    which handles 2-point grids exactly (ADVICE r2: ab3 at n_steps=2 used to
+    silently return an out-of-range final state).
     """
     ts = jnp.asarray(ts)
+    if ts.shape[0] < 3:
+        return odeint_ab2(f, y0, ts, store_idx=store_idx)
     store = sorted(set(int(i) for i in store_idx)) if store_idx is not None else None
 
     h = ts[1] - ts[0]

@@ -43,6 +43,7 @@ general path stays on the XLA einsum implementation (attention.py).
 from __future__ import annotations
 
 import functools
+import warnings
 from typing import Optional
 
 import jax
@@ -64,6 +65,11 @@ BWD_MAX_BLOCK = 1024
 BWD_S_TILE_BYTES = 8 * 1024 * 1024
 
 LOG2E = 1.4426950408889634
+
+# warn-once registry for large shapes that miss the kernel's block
+# constraints and silently take the O(L^2)-memory einsum fallback
+_FALLBACK_WARN_L = 1024
+_warned_fallback_shapes: set = set()
 LN2 = 0.6931471805599453
 
 
@@ -461,6 +467,20 @@ def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float):
         else kv_valid.astype(jnp.float32)[:, None, :]
     )
 
+    if not flash_shapes_ok(Lq, Lk, D) and max(Lq, Lk) >= _FALLBACK_WARN_L:
+        # the einsum fallback materialises the full (B,H,L,L) score tensor —
+        # a large memory/perf cliff at multipart scale; warn once so
+        # misconfigured (non-128-aligned) bucketing is visible (ADVICE r2)
+        key = (Lq, Lk, D)
+        if key not in _warned_fallback_shapes:
+            _warned_fallback_shapes.add(key)
+            warnings.warn(
+                f"masked_flash_attention: shape (Lq={Lq}, Lk={Lk}, D={D}) fails "
+                f"the flash-kernel block constraints (128-aligned L, D%8==0); "
+                f"falling back to dense einsum attention with O(L^2) memory. "
+                f"Align bucket quanta to 128 to use the Pallas kernel.",
+                stacklevel=2,
+            )
     if flash_shapes_ok(Lq, Lk, D):
         # transposed (B, H, D, L) kernel layout; XLA fuses these transposes
         # into the surrounding projections (O(L*D) each, negligible vs L^2*D)

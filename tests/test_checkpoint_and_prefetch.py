@@ -30,6 +30,24 @@ def test_prefetcher_propagates_errors():
         list(BatchPrefetcher(range(4), prepare, num_workers=2))
 
 
+def test_prefetcher_rearms_error_not_stopiteration():
+    """After a prepare() failure, subsequent next() calls re-raise the same
+    error instead of StopIteration (ADVICE r2: a consumer that caught the
+    first error used to see the stream as silently exhausted)."""
+
+    def prepare(i):
+        if i == 1:
+            raise ValueError("boom")
+        return i
+
+    it = BatchPrefetcher(range(4), prepare, num_workers=2)
+    assert next(it) == 0
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+    with pytest.raises(ValueError, match="boom"):
+        next(it)
+
+
 def test_checkpoint_best_selection_and_load_params(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "ck"), monitor="val/loss_raw", max_to_keep=2)
     state = {"params": {"w": jnp.arange(4.0)}}

@@ -114,10 +114,12 @@ def test_flash_bf16_forward_close():
 
 
 def test_flash_gradients_finite_with_saturating_scores():
-    """Mid-training attention can push logits past the forward clip bound
-    (CLIP_HI=80 base-2).  The backward must recompute p with the same clip
-    and cap the exponent at 0 — the round-2 closure run stalled on inf
-    gradients from exactly this regime (clip(s - lse) re-exploding to 2^80)."""
+    """Mid-training attention can push logits to very large magnitudes.  The
+    production kernel keeps the running-max online softmax in the forward and
+    the backward recomputes p from the true LSE with the exponent capped at
+    zero (exp2(min(s - lse, 0))), so saturating scores must yield finite
+    gradients — the round-2 closure run stalled on inf gradients from an
+    earlier clip-based design in exactly this regime."""
     B, L, H, D = 1, 256, 2, 64
     rng = np.random.default_rng(3)
     # scale inputs so raw scores span far beyond 2^80 base-2 logits

@@ -4,7 +4,7 @@ import numpy as np
 import pytest
 
 from superresolutionhep_tpu.flow.cfm import sample_location_and_conditional_flow
-from superresolutionhep_tpu.flow.ode import odeint_dopri5, odeint_fixed
+from superresolutionhep_tpu.flow.ode import odeint_ab2, odeint_ab3, odeint_dopri5, odeint_fixed
 
 
 def exp_decay(t, y):
@@ -18,6 +18,24 @@ def test_fixed_step_solvers_converge():
         ys = odeint_fixed(exp_decay, y0, ts, method)
         np.testing.assert_allclose(np.asarray(ys[-1]), np.exp(-1.0), rtol=tol)
         np.testing.assert_allclose(np.asarray(ys[0]), 1.0)
+
+
+def test_ab3_short_grids_stay_on_grid():
+    """ab3 on 2- and 3-point grids must return a trajectory of exactly
+    len(ts) states ending at ts[-1] (ADVICE r2: n_steps=2 used to emit a
+    3-state trajectory extrapolating past t=1)."""
+    y0 = jnp.ones((4,))
+    for n, tol in [(2, 0.4), (3, 0.15)]:
+        ts = jnp.linspace(0.0, 1.0, n)
+        ys = odeint_ab3(exp_decay, y0, ts)
+        assert ys.shape[0] == n
+        np.testing.assert_allclose(np.asarray(ys[-1]), np.exp(-1.0), rtol=tol)
+        # store_idx variant agrees with the trajectory tail
+        last = odeint_ab3(exp_decay, y0, ts, store_idx=[n - 1])
+        np.testing.assert_allclose(np.asarray(last[0]), np.asarray(ys[-1]))
+    # ab2 2-point behavior (the delegate target) is itself on-grid
+    ys2 = odeint_ab2(exp_decay, y0, jnp.linspace(0.0, 1.0, 2))
+    assert ys2.shape[0] == 2
 
 
 def test_dopri5_linear_ode_dense_output():
