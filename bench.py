@@ -124,7 +124,8 @@ def main():
             if isinstance(v, np.ndarray) and k not in ("idx",)
         }
         n_real = int((idxs >= 0).sum())
-        batches.append((mb, n_real))
+        n_valid = [ds.cell_count_high[i] for i in idxs if i >= 0]
+        batches.append((mb, n_real, n_valid))
     host_prep_s = time.time() - t_prep0
 
     # warmup/compile per bucket shape
@@ -133,7 +134,7 @@ def main():
 
     key = jax.random.PRNGKey(1)
     seen_shapes = set()
-    for mb, _ in batches:
+    for mb, _, _ in batches:
         shape = mb["eta"].shape
         if shape in seen_shapes:
             continue
@@ -145,38 +146,51 @@ def main():
         sync(jitted(mb, key))
         print(f"compiled {shape}: {time.time()-tc:.1f}s", file=sys.stderr)
 
-    # flops per compiled shape (XLA cost analysis) for the MFU estimate
-    shape_flops = {}
-    try:
-        for mb, _ in batches:
-            shape = mb["eta"].shape
-            if shape not in shape_flops:
-                ca = jax.jit(run_batch).lower(mb, key).compile().cost_analysis()
-                shape_flops[shape] = float(ca.get("flops", 0.0))
-    except Exception:
-        shape_flops = {}
+    # analytic FLOPs per batch (XLA cost_analysis cannot see through the
+    # Pallas custom call and missed ~5/6 of the work in round 2 — VERDICT r2;
+    # tools/flops.py counts the attention matmuls + every Dense kernel)
+    from superresolutionhep_tpu.tools.flops import flow_model_flops, sampler_evals
+
+    evals = sampler_evals(N_STEPS, METHOD) * N_ENSEMBLE
+    batch_flops = []  # (padded, masked, attention_padded) per batch
+    for mb, _, n_valid in batches:
+        B, N = mb["eta"].shape[:2]
+        f = flow_model_flops(params, config_mv, B, N, n_valid=n_valid)
+        batch_flops.append(
+            (f["total"] * evals, f["total_masked"] * evals, f["attention"] * evals)
+        )
+
+    # optional: capture a profiler trace of the timed pass (works on axon)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
 
     # timed pass
 
     per_batch = []
     event_latencies = []  # batch wall-time, once per real event in the batch
-    total_flops = 0.0
+    total_flops = total_flops_masked = total_attn_flops = 0.0
     t0 = time.time()
     total_events = 0
-    for i, (mb, n_real) in enumerate(batches):
+    for i, (mb, n_real, _) in enumerate(batches):
         tb = time.time()
         out = jitted(mb, jax.random.fold_in(key, i))
         sync(out)
         bt = time.time() - tb
         per_batch.append((tuple(mb["eta"].shape[:2]), n_real, round(bt, 3)))
         event_latencies.extend([bt] * n_real)
-        total_flops += shape_flops.get(mb["eta"].shape, 0.0)
+        fp, fm, fa = batch_flops[i]
+        total_flops += fp
+        total_flops_masked += fm
+        total_attn_flops += fa
         total_events += n_real
     dt = time.time() - t0
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     events_per_sec = total_events / dt
     lat = np.asarray(event_latencies)
-    achieved_tfs = (total_flops / dt / 1e12) if total_flops else None
+    achieved_tfs = total_flops / dt / 1e12
 
     published = {}
     try:
@@ -228,10 +242,17 @@ def main():
                     "p50_event_latency_ms": round(1000.0 * float(np.percentile(lat, 50)), 2),
                     "p95_event_latency_ms": round(1000.0 * float(np.percentile(lat, 95)), 2),
                     "mean_event_cost_ms": round(1000.0 * dt / max(total_events, 1), 2),
-                    "achieved_tfs": round(achieved_tfs, 1) if achieved_tfs else None,
-                    "mfu_vs_measured_chip_peak": (
-                        round(achieved_tfs / MEASURED_CHIP_TFS, 3) if achieved_tfs else None
+                    # analytic accounting (tools/flops.py): padded = what the
+                    # chip executes; masked discounts pad cells (the gap IS
+                    # the padding overhead); attention_share of padded FLOPs
+                    "achieved_tfs": round(achieved_tfs, 1),
+                    "achieved_tfs_masked": round(total_flops_masked / dt / 1e12, 1),
+                    "mfu_vs_measured_chip_peak": round(achieved_tfs / MEASURED_CHIP_TFS, 3),
+                    "mfu_masked_vs_measured_chip_peak": round(
+                        total_flops_masked / dt / 1e12 / MEASURED_CHIP_TFS, 3
                     ),
+                    "attention_flop_share": round(total_attn_flops / total_flops, 3),
+                    "padding_flop_overhead": round(total_flops / total_flops_masked - 1.0, 3),
                     "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
                     "per_batch": per_batch,
                     "pf_inference_events_per_sec": pf_events_per_sec,

@@ -47,6 +47,12 @@ class GeneratorConfig:
     split_noise: float = 0.2
     electron_fraction: float = 0.5
     single_electron: bool = False
+    # jet-like collimation: when > 0, all particles of an event land within
+    # this radius (in layer-0 LR-cell-pitch units) of a common axis, so
+    # their showers overlap at LR pitch while remaining separable at HR
+    # pitch — the regime where the reference's HR-trained PF model beats the
+    # LR-trained one (saved_checkpoints/pf_hr 0.3318 vs pf_lr 0.4034)
+    collimate_delta_r_lr_cells: float = 0.0
 
 
 def _layer_grid(layer: int, res_factor: int):
@@ -71,8 +77,20 @@ def generate_events(n_events: int, seed: int = 0, config: GeneratorConfig | None
 
     for _ in range(n_events):
         n_part = 1 if cfg.single_electron else int(rng.integers(cfg.min_particles, cfg.max_particles + 1))
-        p_eta = rng.uniform(-1.5, 1.5, n_part)
-        p_phi = rng.uniform(-np.pi, np.pi, n_part)
+        if cfg.collimate_delta_r_lr_cells > 0 and not cfg.single_electron:
+            # layer-0 LR pitch sets the collimation scale (square cartoon grid)
+            pitch0 = (ETA_RANGE[1] - ETA_RANGE[0]) / (HIGH_GRANULARITY[0] // rf)
+            r_max = cfg.collimate_delta_r_lr_cells * pitch0
+            axis_eta = rng.uniform(-1.5, 1.5)
+            axis_phi = rng.uniform(-np.pi, np.pi)
+            r = r_max * np.sqrt(rng.uniform(0, 1, n_part))  # uniform over the disk
+            ang = rng.uniform(0, 2 * np.pi, n_part)
+            p_eta = np.clip(axis_eta + r * np.cos(ang), -1.6, 1.6)
+            p_phi = axis_phi + r * np.sin(ang)
+            p_phi = (p_phi + np.pi) % (2 * np.pi) - np.pi
+        else:
+            p_eta = rng.uniform(-1.5, 1.5, n_part)
+            p_phi = rng.uniform(-np.pi, np.pi, n_part)
         p_e = rng.uniform(cfg.e_min_gev, cfg.e_max_gev, n_part) * 1e3  # MeV
         if cfg.single_electron:
             pdgid = np.array([11], np.int32)

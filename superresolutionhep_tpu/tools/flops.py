@@ -1,0 +1,105 @@
+"""Analytic FLOP accounting for the SR flow model.
+
+Round-2 used ``jax.jit(...).compile().cost_analysis()["flops"]`` for the
+bench's MFU estimate, but XLA's cost analysis does not see through the Pallas
+flash-attention custom call (it misses the O(N^2) score/value matmuls — the
+bulk of the work), so the published MFU understated the chip ~6x (VERDICT r2).
+
+This module counts forward FLOPs analytically:
+  * every Dense/linear kernel in the parameter pytree contributes
+    ``2 * d_in * d_out`` per applied position (multiply + add), classified as
+    per-cell (applied at each of the B*N padded positions) or per-event
+    (context/modulation nets applied once per event) by parameter path;
+  * the attention score and value matmuls contribute
+    ``2 * B * H * Lq * Lk * D`` each per transformer layer (the flash
+    kernel computes exactly these, ops/flash_attention.py);
+  * both a padded count (what the chip executes on the padded batch) and a
+    mask-discounted count (attention scaled by sum(n_i^2)/(B N^2), linears by
+    sum(n_i)/(B N)) are reported — the gap is the padding overhead.
+
+Elementwise work (norms, activations, softmax) is excluded: it is
+bandwidth-, not FLOP-bound, and MFU is a matmul-utilization metric.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import numpy as np
+
+# parameter-path fragments applied once per EVENT (everything else with a
+# (d_in, d_out) kernel runs per cell): timestep embedder MLP, adaLN
+# modulation nets (context -> shifts/scales/gates), final v_t modulation
+_PER_EVENT_MARKERS = ("time_step_embedder", "adaLN", "adaln")
+
+
+def _iter_kernels(params: Dict[str, Any], prefix: str = ""):
+    for name, val in params.items():
+        path = f"{prefix}/{name}" if prefix else str(name)
+        if isinstance(val, dict):
+            yield from _iter_kernels(val, path)
+        elif name == "kernel" and hasattr(val, "shape") and len(val.shape) == 2:
+            yield path, int(val.shape[0]), int(val.shape[1])
+
+
+def flow_model_flops(
+    params: Dict[str, Any],
+    config_mv: dict,
+    B: int,
+    N: int,
+    n_valid: Optional[Sequence[int]] = None,
+) -> Dict[str, float]:
+    """Forward FLOPs of ONE FlowModel evaluation on a (B, N) padded batch.
+
+    ``params``: the initialized variables (``{'params': ...}`` or the inner
+    dict).  ``n_valid``: real cell counts of the events in the batch; when
+    given, ``*_masked`` entries discount padding.
+    Returns a dict with ``linear``, ``attention``, ``total`` (padded) and the
+    ``*_masked`` variants.
+    """
+    p = params.get("params", params)
+
+    per_cell = 0.0  # FLOPs per (event, cell) position
+    per_event = 0.0  # FLOPs per event
+    for path, d_in, d_out in _iter_kernels(p):
+        flops = 2.0 * d_in * d_out
+        if any(m in path for m in _PER_EVENT_MARKERS):
+            per_event += flops
+        else:
+            per_cell += flops
+
+    fm = config_mv["flow_model"]
+    tcfg = fm["transformer"]
+    n_layers = int(tcfg["num_transformer_layers"])
+    h_dim = int(fm["h_dim"])  # H * D == h_dim in this architecture
+    # score (QK^T) + value (PV) matmuls: 2 * (2 * B * N^2 * H * D) per layer
+    attn = n_layers * 4.0 * B * float(N) ** 2 * h_dim
+
+    linear = B * N * per_cell + B * per_event
+    out = {
+        "linear": linear,
+        "attention": attn,
+        "total": linear + attn,
+    }
+    if n_valid is not None:
+        nv = np.asarray(list(n_valid), np.float64)
+        cell_frac = float(nv.sum()) / (B * N)
+        attn_frac = float((nv**2).sum()) / (B * float(N) ** 2)
+        out["linear_masked"] = B * N * per_cell * cell_frac + B * per_event
+        out["attention_masked"] = attn * attn_frac
+        out["total_masked"] = out["linear_masked"] + out["attention_masked"]
+    return out
+
+
+def sampler_evals(n_steps: int, method: str) -> int:
+    """Model evaluations of one sampler run over a linspace(0,1,n_steps) grid.
+
+    Fixed-step methods pay k evals per step; ab2/ab3 pay 1 per step after a
+    Heun bootstrap (2 evals on the first interval) — totalling exactly
+    ``n_steps`` evals (flow/ode.py)."""
+    per_step = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4}
+    if method in ("ab2", "ab3"):
+        return int(n_steps)  # Heun bootstrap (2) + 1 per remaining interval
+    if method in per_step:
+        return per_step[method] * (int(n_steps) - 1)
+    raise ValueError(f"eval count undefined for adaptive method {method!r}")
