@@ -45,7 +45,8 @@ def main():
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8310)
-    ap.add_argument("--buckets", type=int, nargs="+", default=[256, 512, 1024, 2048])
+    ap.add_argument("--buckets", type=int, nargs="+",
+                    default=[256, 512, 1024, 2048, 3072, 4096, 5120])
     ap.add_argument("--n-ensemble", type=int, default=10)
     ap.add_argument("--n-steps", type=int, default=25)
     ap.add_argument("--ode-method", default="ab2")

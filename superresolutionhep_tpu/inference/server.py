@@ -36,6 +36,22 @@ from .sr import SRInference
 
 LOW_KEYS = ("cell_eta", "cell_phi", "cell_layer", "cell_e", "cell_x", "cell_y", "cell_z")
 
+# default buckets cover the full multipart range (bench events run to ~5k HR
+# cells); single_e-only deployments can pass a smaller set to cut warmup time
+DEFAULT_BUCKETS = (256, 512, 1024, 2048, 3072, 4096, 5120)
+
+
+class EventTooLargeError(ValueError):
+    """Request event exceeds the largest precompiled bucket (HTTP 413)."""
+
+    def __init__(self, n: int, max_cells: int):
+        super().__init__(
+            f"event with {n} HR cells exceeds the largest serving bucket "
+            f"{max_cells}; start the server with a larger --buckets set"
+        )
+        self.n = n
+        self.max_cells = max_cells
+
 
 def _event_to_file(event: dict, path: str):
     """Write a single request event into the standard two-tree container the
@@ -61,7 +77,7 @@ def _event_to_file(event: dict, path: str):
 
 
 class SRServer:
-    def __init__(self, inf_cfg: dict, buckets=(256, 512, 1024, 2048), params=None):
+    def __init__(self, inf_cfg: dict, buckets=DEFAULT_BUCKETS, params=None):
         self.inf = SRInference(inf_cfg, params=params)
         self.n_ensemble = int(inf_cfg.get("n_ensemble", 10))
         self.method = inf_cfg.get("ode_method", "ab2")
@@ -74,7 +90,7 @@ class SRServer:
         for b in self.buckets:
             if n <= b:
                 return b
-        raise ValueError(f"event with {n} HR cells exceeds the largest bucket {self.buckets[-1]}")
+        raise EventTooLargeError(n, self.buckets[-1])
 
     def predict_event(self, event: dict) -> dict:
         import jax
@@ -174,6 +190,11 @@ class SRServer:
                     result["total_ms"] = round((time.time() - t0) * 1e3, 2)
                     body = json.dumps(result).encode()
                     code = 200
+                except EventTooLargeError as e:  # graceful oversize handling
+                    body = json.dumps(
+                        {"error": str(e), "n_cells": e.n, "max_cells": e.max_cells}
+                    ).encode()
+                    code = 413
                 except Exception as e:  # surface errors to the client
                     body = json.dumps({"error": f"{type(e).__name__}: {e}"}).encode()
                     code = 400

@@ -121,3 +121,58 @@ def test_http_round_trip(server):
     except urllib.error.HTTPError as e:
         assert e.code == 400
         assert "error" in json.load(e)
+
+    # oversize event -> 413 with a structured payload, server stays healthy.
+    # Replicate BOTH trees so the schema stays valid (n_high == n_low * rf^2,
+    # reorder map offset per replica block)
+    big = _event_from_file(truth, 0)
+    n_high0 = len(big["high"]["cell_eta"])
+    factor = 300 // n_high0 + 2
+    edge0 = big["low"]["high_cell_to_low_cell_edge"]
+    for k in big["high"]:
+        big["high"][k] = big["high"][k] * factor
+    for k in big["low"]:
+        if k != "high_cell_to_low_cell_edge":
+            big["low"][k] = big["low"][k] * factor
+    big["low"]["high_cell_to_low_cell_edge"] = [
+        e + r * n_high0 for r in range(factor) for e in edge0
+    ]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/predict", data=json.dumps(big).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        pytest.fail("expected HTTP 413")
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+        payload = json.load(e)
+        assert payload["max_cells"] == 256 and payload["n_cells"] > 256
+
+    # concurrent requests: the device lock serialises, every client gets a
+    # complete, correct response (no cross-talk, no 5xx)
+    results = []
+    errors = []
+
+    def fire(idx):
+        ev_i = _event_from_file(truth, idx % 2)
+        r = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=json.dumps(ev_i).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(r, timeout=300) as resp:
+                results.append(json.load(resp))
+        except Exception as exc:  # pragma: no cover - failure detail
+            errors.append(exc)
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(6)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert len(results) == 6
+    for out_i in results:
+        assert out_i["n_cells"] == len(out_i["e_pred_raw"])
+        assert np.isfinite(out_i["e_pred_raw"]).all()
