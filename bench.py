@@ -72,8 +72,16 @@ def main():
 
     ds = SupResEvents(path, config_mv)
     # bfloat16 compute (fp32 params/accumulation in the flash kernel) — the
-    # TPU production configuration
-    model = FlowModel(config=config_mv["flow_model"], dtype=jnp.bfloat16)
+    # TPU production configuration.  BENCH_FAST=1 (default) uses the
+    # inference-only no-max clipped-softmax kernel, the production
+    # `fast_softmax` path (validated per checkpoint by nomax_selfcheck in
+    # inference/sr.py; here by the robust-vs-fast first-batch compare below).
+    fast = os.environ.get("BENCH_FAST", "1") != "0"
+    model = FlowModel(
+        config=config_mv["flow_model"],
+        dtype=jnp.bfloat16,
+        attn_impl="flash_nomax" if fast else "auto",
+    )
 
     # init params once on a small shape
     db_pad = 256
@@ -110,6 +118,7 @@ def main():
         cost_budget=4096 * 4096 * 16,
         max_batch_size=64,
         shuffle=False,
+        tail_shrink=True,  # underfilled tail batches run at a smaller B
     )
 
     # prepare host batches once (host prep is timed separately below)
@@ -145,6 +154,23 @@ def main():
         # one-time load/installation stall on axon
         sync(jitted(mb, key))
         print(f"compiled {shape}: {time.time()-tc:.1f}s", file=sys.stderr)
+
+    # validate the no-max kernel against the robust online-softmax on the
+    # first batch (same gate production inference applies per checkpoint)
+    nomax_ok = None
+    if fast:
+        from superresolutionhep_tpu.ops.flash_attention import nomax_selfcheck
+
+        model_robust = FlowModel(config=config_mv["flow_model"], dtype=jnp.bfloat16)
+        mb0 = batches[0][0]
+        x0 = jnp.zeros_like(mb0["e_proxy"])
+        t0 = jnp.full((mb0["eta"].shape[0],), 0.5, jnp.float32)
+        nomax_ok = nomax_selfcheck(
+            jax.jit(lambda b: model_robust.apply(params, b, x0, t0)),
+            jax.jit(lambda b: model.apply(params, b, x0, t0)),
+            mb0,
+        )
+        print(f"nomax selfcheck: {'OK' if nomax_ok else 'FAILED'}", file=sys.stderr)
 
     # analytic FLOPs per batch (XLA cost_analysis cannot see through the
     # Pallas custom call and missed ~5/6 of the work in round 2 — VERDICT r2;
@@ -252,6 +278,8 @@ def main():
                         total_flops_masked / dt / 1e12 / MEASURED_CHIP_TFS, 3
                     ),
                     "attention_flop_share": round(total_attn_flops / total_flops, 3),
+                    "fast_softmax": fast,
+                    "nomax_selfcheck_ok": nomax_ok,
                     "padding_flop_overhead": round(total_flops / total_flops_masked - 1.0, 3),
                     "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
                     "per_batch": per_batch,

@@ -73,6 +73,7 @@ class BucketBatcher:
         seed: int = 0,
         drop_last: bool = False,
         batch_multiple_of: int = 1,
+        tail_shrink: bool = False,
     ):
         self.counts = np.asarray(counts, np.int64)
         self.buckets = make_buckets(
@@ -81,6 +82,16 @@ class BucketBatcher:
         self.quantum = quantum
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # shrink the batch dim of each bucket's final underfilled batch by
+        # halving down to the smallest power-of-two multiple that still fits:
+        # filler slots are NOT free — the dense stack runs over every padded
+        # token (XLA cannot skip them) and the flash kernel still streams the
+        # masked blocks, so a 2-real-event batch padded to B=64 costs ~32x its
+        # useful work (measured: 4.7 s for 2 events at (64, 2048), BENCH_r02).
+        # Costs at most log2(B) extra compiled shapes per bucket, amortised by
+        # the persistent compile cache.
+        self.tail_shrink = tail_shrink
+        self.batch_multiple_of = max(1, batch_multiple_of)
         self._rng = np.random.default_rng(seed)
 
         pad_sizes = np.array([b.pad_n for b in self.buckets])
@@ -100,9 +111,15 @@ class BucketBatcher:
                     # cnt // batch_size accounting, not global batch order)
                     if self.drop_last:
                         continue
+                    bs = bucket.batch_size
+                    if self.tail_shrink:
+                        while bs // 2 >= self.batch_multiple_of and bs // 2 >= len(chunk):
+                            bs //= 2
                     chunk = np.concatenate(
-                        [chunk, np.full(bucket.batch_size - len(chunk), -1, np.int64)]
+                        [chunk, np.full(bs - len(chunk), -1, np.int64)]
                     )
+                    batches.append((chunk, Bucket(bucket.pad_n, bs)))
+                    continue
                 batches.append((chunk, bucket))
         if self.shuffle:
             order = self._rng.permutation(len(batches))

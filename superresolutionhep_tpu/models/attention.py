@@ -46,7 +46,7 @@ class MultiheadAttention(nn.Module):
     update_edges: bool = False
     dropout: float = 0.0
     dtype: Any = None
-    impl: str = "auto"  # 'xla' | 'flash' | 'auto'
+    impl: str = "auto"  # 'xla' | 'flash' | 'flash_nomax' (inference-only) | 'auto'
     # sequence-parallel (context-parallel) mesh axis: when set, the token
     # axis of k/v arrives sharded and is either all-gathered over ICI
     # (sp_mode='gather') or rotated around the ring with online-softmax
@@ -134,10 +134,17 @@ class MultiheadAttention(nn.Module):
         use_flash = self.impl != "xla" and _can_use_flash(
             edges, attn_bias, attn_valid, self.update_edges, self.dropout
         )
-        if use_flash and (self.impl == "flash" or jax.default_backend() == "tpu"):
+        if use_flash and (
+            self.impl in ("flash", "flash_nomax") or jax.default_backend() == "tpu"
+        ):
             from ..ops.flash_attention import masked_flash_attention
 
-            out = masked_flash_attention(q_p, k_p, v_p, q_valid, kv_valid, scale=1.0 / scale)
+            out = masked_flash_attention(
+                q_p, k_p, v_p, q_valid, kv_valid, scale=1.0 / scale,
+                # inference-only clipped-exp2 softmax (no running max);
+                # validated per checkpoint via nomax_selfcheck
+                softmax="nomax_clip" if self.impl == "flash_nomax" else "max",
+            )
             out = out.reshape(B, Lq, self.embed_dim)
             if self.out_proj:
                 out = self.linear_out(out)

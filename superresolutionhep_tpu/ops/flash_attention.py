@@ -55,6 +55,16 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 BIG = 1e30
 
+# no-max inference kernel clip bounds (base-2 logits): HI keeps l = sum(p)
+# < L * 2^80 finite in fp32; LO is the subnormal floor.  The clipped exp2 is
+# EXACT whenever every row's logits lie inside (CLIP_LO, CLIP_HI) — guaranteed
+# for LayerNorm-bounded trained activations, NOT guaranteed under training
+# drift (the clip is a one-way door: saturated rows go uniform and the
+# restoring gradient vanishes — observed 1e14 grad norms in round 2), which is
+# why this variant is inference-only and opt-in (`softmax='nomax_clip'`).
+CLIP_LO = -126.0
+CLIP_HI = 80.0
+
 # forward: sT tile is (BK, BQ) fp32 — cap its VMEM footprint
 MAX_BLOCK_Q = 3584
 FWD_S_TILE_BYTES = 896 * 3584 * 4  # best measured config; ~12.3 MiB
@@ -225,6 +235,84 @@ def _flash_fwd(qT, kT, vT, qm, km, with_lse=True):
         interpret=_interpret(),
     )(qT, kT, vT, km, qm)
     return res if with_lse else (res, None)
+
+
+# ---------------------------------------------------------------------------
+# no-max inference forward: clipped exp2, no running-max chain
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel_nomax(qT_ref, kT_ref, vT_ref, km_ref, qm_ref, oT_ref, l_scr, acc_scr):
+    """Inference-only forward without the online-softmax running max: the max
+    reduction + rescale chain costs ~10-20% of kernel time (measured 45.6 vs
+    52.5 TF/s at L=2048, 54.5 vs 70.2 at L=3584); dropping it is exact while
+    row logits stay inside (CLIP_LO, CLIP_HI) — see the module constants for
+    why this is safe only at inference on trained weights."""
+    j = pl.program_id(3)
+    n_k = pl.num_programs(3)
+
+    @pl.when(j == 0)
+    def _init():
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    km = km_ref[0]  # (1, BK) float
+    qm = qm_ref[0]  # (1, BQ) float
+    block_live = (jnp.sum(km) > 0) & (jnp.sum(qm) > 0)
+
+    @pl.when(block_live)
+    def _update():
+        qT = qT_ref[0, 0]  # (D, BQ) pre-scaled base-2 logits
+        kT = kT_ref[0, 0]  # (D, BK)
+        vT = vT_ref[0, 0]  # (D, BK)
+        sT = lax.dot_general(
+            kT, qT, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        # multiplicative key mask (the additive -BIG bias would explode
+        # exp2 without the max subtraction)
+        pT = jnp.exp2(jnp.clip(sT, CLIP_LO, CLIP_HI)) * jnp.transpose(km)
+        l_scr[:] += pT.sum(axis=0, keepdims=True)
+        acc_scr[:] += lax.dot_general(
+            vT, pT.astype(vT.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(j == n_k - 1)
+    def _finalize():
+        out = acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        oT_ref[0, 0] = (out * (qm > 0)).astype(oT_ref.dtype)
+
+
+def _flash_fwd_nomax(qT, kT, vT, qm, km):
+    """Same blocking/specs as _flash_fwd, minus the m scratch and LSE."""
+    B, H, D, Lq = qT.shape
+    Lk = kT.shape[3]
+    BQ, BK = _fwd_blocks(Lq, Lk)
+    grid = (B, H, Lq // BQ, Lk // BK)
+    return pl.pallas_call(
+        _fwd_kernel_nomax,
+        out_shape=jax.ShapeDtypeStruct(qT.shape, qT.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, D, BQ), lambda b, h, i, j: (b, h, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, BK), lambda b, h, i, j: (b, h, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, BK), lambda b, h, i, j: (b, h, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BK), lambda b, h, i, j: (b, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BQ), lambda b, h, i, j: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, D, BQ), lambda b, h, i, j: (b, h, 0, i), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((1, BQ), jnp.float32),  # running sum l
+            pltpu.VMEM((D, BQ), jnp.float32),  # output accumulator
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Lq * Lk * D,
+            bytes_accessed=4 * (2 * qT.size + (kT.size + vT.size) * (Lq // BQ)),
+            transcendentals=B * H * Lq * Lk,
+        ),
+        interpret=_interpret(),
+    )(qT, kT, vT, km, qm)
 
 
 # ---------------------------------------------------------------------------
@@ -448,11 +536,18 @@ def _ref_attention(q, k, v, qm, km, scale):
 # ---------------------------------------------------------------------------
 
 
-def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float):
+def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float, softmax: str = "max"):
     """q,k,v: (B, L, H, D) with True==valid padding masks (B, L) or None.
 
     Returns (B, Lq, H, D).  Falls back to the einsum formulation when block
     constraints don't hold (tiny/odd shapes).
+
+    softmax='max' (default): online softmax with a running max — exact for
+    any logits, differentiable (custom VJP), the training path.
+    softmax='nomax_clip': inference-only clipped exp2 without the max chain
+    (~15-30% faster, exact while row logits stay in (CLIP_LO, CLIP_HI));
+    NOT differentiable — gradients through it raise.  Validate per
+    checkpoint via `nomax_selfcheck` before enabling in production.
     """
     B, Lq, H, D = q.shape
     Lk = k.shape[1]
@@ -489,7 +584,11 @@ def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float):
         vT = jnp.transpose(v, (0, 2, 3, 1))
         # fold softmax scale and the base-2 conversion into Q outside the
         # kernel; autodiff chains d/dq through this product
-        outT = _flash_attention(qT * jnp.asarray(scale * LOG2E, qT.dtype), kT, vT, qm, km)
+        qT_pre = qT * jnp.asarray(scale * LOG2E, qT.dtype)
+        if softmax == "nomax_clip":
+            outT = _flash_fwd_nomax(qT_pre, kT, vT, qm, km)
+        else:
+            outT = _flash_attention(qT_pre, kT, vT, qm, km)
         return jnp.transpose(outT, (0, 3, 1, 2))
     out, _ = _ref_attention(
         jnp.transpose(q, (0, 2, 1, 3)),
@@ -500,3 +599,15 @@ def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float):
         scale,
     )
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def nomax_selfcheck(apply_robust, apply_nomax, batch, atol: float = 2e-2) -> bool:
+    """Per-checkpoint validation gate for the no-max inference kernel: run the
+    same forward through the robust and the clipped no-max attention and
+    compare outputs.  Exactness of the clip holds iff the trained model's
+    attention logits stay inside (CLIP_LO, CLIP_HI); this check proves it on a
+    representative batch rather than assuming it.  Returns True when the
+    variants agree within `atol` (bf16 forward noise is ~1e-2 at h=256)."""
+    a = jnp.asarray(apply_robust(batch), jnp.float32)
+    b = jnp.asarray(apply_nomax(batch), jnp.float32)
+    return bool(jnp.max(jnp.abs(a - b)) < atol)

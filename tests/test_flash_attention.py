@@ -141,3 +141,47 @@ def test_flash_gradients_finite_with_saturating_scores():
     # reference closely even this deep into the clip regime for rows whose
     # max logit stays below the clip bound; global sanity: bounded by |v|
     assert np.abs(np.asarray(out)).max() <= np.abs(np.asarray(v)).max() + 1e-3
+
+
+@pytest.mark.parametrize("Lq,Lk", [(256, 256), (128, 384)])
+def test_nomax_matches_robust(Lq, Lk):
+    """Inference no-max clipped-softmax variant is exact for in-bound logits."""
+    B, H, D = 2, 4, 64
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(B, Lq, H, D)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(B, Lk, H, D)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(B, Lk, H, D)).astype(np.float32))
+    q_valid = jnp.asarray(np.arange(Lq)[None, :] < np.array([[Lq], [Lq - 70]]))
+    kv_valid = jnp.asarray(np.arange(Lk)[None, :] < np.array([[Lk], [Lk // 2]]))
+    scale = 1.0 / np.sqrt(D)
+    fast = masked_flash_attention(q, k, v, q_valid, kv_valid, scale, softmax="nomax_clip")
+    robust = masked_flash_attention(q, k, v, q_valid, kv_valid, scale, softmax="max")
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(robust), rtol=2e-5, atol=2e-5)
+
+
+def test_nomax_selfcheck_detects_saturation():
+    """The per-checkpoint gate must catch logits beyond the clip bound (where
+    the no-max kernel is no longer exact) and pass in the benign regime."""
+    from superresolutionhep_tpu.ops.flash_attention import nomax_selfcheck
+
+    B, L, H, D = 1, 128, 2, 64
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(B, L, H, D)).astype(np.float32)
+    valid = jnp.ones((B, L), bool)
+    scale = 1.0 / np.sqrt(D)
+
+    def pair(mult):
+        q = jnp.asarray(base * mult)
+        k = jnp.asarray(base * mult)  # q=k makes diagonal logits ~ mult^2 * D
+        v = jnp.asarray(rng.normal(size=(B, L, H, D)).astype(np.float32))
+        robust = lambda _: masked_flash_attention(q, k, v, valid, valid, scale)  # noqa: E731
+        fast = lambda _: masked_flash_attention(  # noqa: E731
+            q, k, v, valid, valid, scale, softmax="nomax_clip"
+        )
+        return robust, fast
+
+    robust, fast = pair(1.0)
+    assert nomax_selfcheck(robust, fast, None)
+    # logits ~ 40 * sqrt(D) ~ 320 >> CLIP_HI: clip saturates, outputs diverge
+    robust, fast = pair(40.0)
+    assert not nomax_selfcheck(robust, fast, None)

@@ -115,6 +115,28 @@ def test_bucket_batcher_covers_all_events_once():
     assert len(bb) == sum(1 for _ in bb)
 
 
+def test_bucket_batcher_tail_shrink():
+    """Underfilled tail batches shrink their batch dim to the smallest
+    power-of-two fraction that still fits (padded slots cost real compute);
+    coverage and batch count are unchanged."""
+    rng = np.random.default_rng(3)
+    counts = rng.integers(10, 700, size=67)
+    bb = BucketBatcher(
+        counts, quantum=128, cost_budget=512 * 512 * 8, shuffle=False,
+        tail_shrink=True, batch_multiple_of=2,
+    )
+    seen = []
+    for idxs, bucket in bb:
+        real = idxs[idxs >= 0]
+        assert np.all(counts[real] <= bucket.pad_n)
+        # shrunk tails: at most a 2x batch-dim overhead, mesh multiple kept
+        assert len(idxs) < 2 * max(len(real), 1) or len(idxs) == 2
+        assert len(idxs) % 2 == 0
+        seen.extend(real.tolist())
+    assert sorted(seen) == list(range(67))
+    assert len(bb) == sum(1 for _ in bb)
+
+
 def test_collate_edge_mask_all2all_and_predefined():
     from superresolutionhep_tpu.data.sr_dataset import SupResEvent, collate
 
