@@ -112,10 +112,14 @@ class SRServer:
         with self._lock:
             self._key_counter += 1
             key = jax.random.PRNGKey(self._key_counter)
+            if self.inf.fast_softmax and not self.inf._nomax_validated:
+                # cold start without warmup(): gate the no-max kernel here
+                self.inf.fast_softmax = self.inf._validate_nomax(batch)
+                self.inf._nomax_validated = True
             t0 = time.time()
             out = self.inf._jitted(
                 batch, key, n_ensemble=self.n_ensemble, n_steps=self.inf.n_steps,
-                method=self.method,
+                method=self.method, fast=self.inf.fast_softmax,
             )
             out = np.asarray(out[:, -1])  # (E, B, N, 1) final state
             device_ms = (time.time() - t0) * 1e3
@@ -149,10 +153,14 @@ class SRServer:
                 "target": jnp.zeros((1, b, 1)),
             }
             batch = {k: full[k] for k in MODEL_BATCH_KEYS}
+            if self.inf.fast_softmax and not self.inf._nomax_validated:
+                self.inf.fast_softmax = self.inf._validate_nomax(batch)
+                self.inf._nomax_validated = True
             t0 = time.time()
             out = self.inf._jitted(
                 batch, jax.random.PRNGKey(0), n_ensemble=self.n_ensemble,
                 n_steps=self.inf.n_steps, method=self.method,
+                fast=self.inf.fast_softmax,
             )
             float(np.asarray(out).sum())
             print(f"[serve] warmed bucket {b}: {time.time() - t0:.1f}s", flush=True)
