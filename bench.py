@@ -114,7 +114,7 @@ def main():
     # .jax_cache; the flash kernel accepts any L that is a multiple of 128
     batcher = BucketBatcher(
         ds.cell_count_high,
-        quantum=512,
+        quantum=int(os.environ.get("BENCH_QUANTUM", "512")),
         cost_budget=4096 * 4096 * 16,
         max_batch_size=64,
         shuffle=False,
