@@ -53,6 +53,18 @@ class GeneratorConfig:
     # pitch — the regime where the reference's HR-trained PF model beats the
     # LR-trained one (saved_checkpoints/pf_hr 0.3318 vs pf_lr 0.4034)
     collimate_delta_r_lr_cells: float = 0.0
+    # localized-axis regime: when axis_eta is set, shower centers are drawn
+    # from a band of +/- axis_jitter_lr_cells (layer-0 LR pitch units) around
+    # (axis_eta, axis_phi) instead of the full detector.  The subcell-share
+    # target is a sawtooth at LR pitch in *absolute* coordinates; over the
+    # full detector it has ~75 periods (beyond the spectral capacity of the
+    # reference's raw-coordinate 3->64->32 etaphi MLP,
+    # /root/reference/models/flow_model.py:44-46), while a localized band
+    # keeps only a handful — the generator regime where the exact reference
+    # featurization can express the task (VERDICT r2, next-round item 4)
+    axis_eta: float | None = None
+    axis_phi: float = 0.6
+    axis_jitter_lr_cells: float = 1.5
 
 
 def _layer_grid(layer: int, res_factor: int):
@@ -91,6 +103,12 @@ def generate_events(n_events: int, seed: int = 0, config: GeneratorConfig | None
         else:
             p_eta = rng.uniform(-1.5, 1.5, n_part)
             p_phi = rng.uniform(-np.pi, np.pi, n_part)
+        if cfg.axis_eta is not None:
+            pitch0 = (ETA_RANGE[1] - ETA_RANGE[0]) / (HIGH_GRANULARITY[0] // rf)
+            j = cfg.axis_jitter_lr_cells * pitch0
+            p_eta = np.clip(cfg.axis_eta + rng.uniform(-j, j, n_part), -1.6, 1.6)
+            p_phi = cfg.axis_phi + rng.uniform(-j, j, n_part)
+            p_phi = (p_phi + np.pi) % (2 * np.pi) - np.pi
         p_e = rng.uniform(cfg.e_min_gev, cfg.e_max_gev, n_part) * 1e3  # MeV
         if cfg.single_electron:
             pdgid = np.array([11], np.int32)
