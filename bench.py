@@ -90,6 +90,12 @@ def main():
     params = model.init(
         jax.random.PRNGKey(0), dummy, dummy["target"], jnp.zeros((dummy["eta"].shape[0],))
     )
+    # one-time bf16 param cast (geometry embedder stays fp32): without it the
+    # fp32->bf16 weight convert + layout copy is re-staged inside the sampler
+    # scan every iteration (~3-4 ms/iter at small L, BASELINE.md round-3)
+    from superresolutionhep_tpu.models.precision import cast_params_for_inference
+
+    params = cast_params_for_inference(params)
 
     apply_fn = lambda v, b, x, t: model.apply(v, b, x, t)  # noqa: E731
 

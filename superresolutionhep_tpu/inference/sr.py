@@ -42,13 +42,21 @@ class SRInference:
         self.inf_cfg = inf_cfg
         self.config_mv = load_yaml(inf_cfg["model"]["config_path_mv"])
         self.config_t = load_yaml(inf_cfg["model"]["config_path_t"])
-        self.model = FlowModel(config=self.config_mv["flow_model"])
+        # opt-in bf16 compute (`model.dtype: bfloat16` in the inference YAML):
+        # the TPU production configuration — dense stack on the MXU at bf16,
+        # geometry embedder kept fp32 (models/precision.py).  Default stays
+        # fp32 (the torch-parity configuration).
+        dtype_name = str(inf_cfg["model"].get("dtype", "") or "")
+        self.dtype = jnp.bfloat16 if dtype_name in ("bfloat16", "bf16") else None
+        self.model = FlowModel(config=self.config_mv["flow_model"], dtype=self.dtype)
         # opt-in inference fast path: clipped no-max softmax kernel (~15-30%
         # faster attention); validated against the robust kernel on the first
         # batch of every run (nomax_selfcheck) before it is trusted
         self.fast_softmax = bool(inf_cfg["model"].get("fast_softmax", False))
         self.model_fast = (
-            FlowModel(config=self.config_mv["flow_model"], attn_impl="flash_nomax")
+            FlowModel(
+                config=self.config_mv["flow_model"], dtype=self.dtype, attn_impl="flash_nomax"
+            )
             if self.fast_softmax
             else None
         )
@@ -58,6 +66,10 @@ class SRInference:
         if params is None:
             ckpt = load_params(inf_cfg["model"]["checkpoint_path"])
             params = ckpt["params"] if isinstance(ckpt, dict) and "params" in ckpt else ckpt
+        if self.dtype is not None:
+            from ..models.precision import cast_params_for_inference
+
+            params = cast_params_for_inference(params, self.dtype)
         self.params = params
 
         n_steps = int(inf_cfg["model"]["n_steps"])
