@@ -84,10 +84,16 @@ class MultiheadAttention(nn.Module):
         kv_valid=None,
         attn_valid=None,
         attn_bias=None,
+        segment_ids=None,
         deterministic: bool = True,
     ):
         """q/k/v: (B, L, F). Masks are True==valid. Returns (B, Lq, q_dim or
-        embed_dim); with ``edges`` given, returns (out, edge_out)."""
+        embed_dim); with ``edges`` given, returns (out, edge_out).
+
+        ``segment_ids`` (B, L) int32 (-1 = pad): segment-packed self-
+        attention — cells attend only within their own event.  Dispatches
+        to the banded Pallas kernel (ops/flash_packed.py) on TPU-friendly
+        shapes, else to the einsum path with a segment-equality mask."""
         if k is None:
             k = q
             if kv_valid is None:
@@ -130,6 +136,28 @@ class MultiheadAttention(nn.Module):
             e = self.linear_e(edges)  # (B, Lq, Lk, H)
             attn_bias = e if attn_bias is None else attn_bias + e
             g = nn.sigmoid(self.linear_g(edges))  # (B, Lq, Lk, H)
+
+        if segment_ids is not None:
+            if edges is not None or attn_bias is not None or attn_valid is not None:
+                raise NotImplementedError("segment packing supports padding masks only")
+            if self.sp_axis is not None:
+                raise NotImplementedError("segment packing and sequence parallelism are exclusive")
+            from ..ops.flash_packed import packed_flash_attention, packed_shapes_ok
+
+            if self.impl != "xla" and packed_shapes_ok(Lq, HD) and (
+                self.impl in ("flash", "flash_nomax") or jax.default_backend() == "tpu"
+            ):
+                out = packed_flash_attention(
+                    q_p, k_p, v_p, segment_ids, scale=1.0 / scale,
+                    softmax="nomax_clip" if self.impl == "flash_nomax" else "max",
+                ).reshape(B, Lq, self.embed_dim)
+                if self.out_proj:
+                    out = self.linear_out(out)
+                return out
+            # einsum fallback: block-diagonal mask from segment equality
+            attn_valid = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
+                segment_ids >= 0
+            )[:, None, :]
 
         use_flash = self.impl != "xla" and _can_use_flash(
             edges, attn_bias, attn_valid, self.update_edges, self.dropout

@@ -20,8 +20,18 @@ from .dense import Dense, LN_EPS, xavier_uniform
 
 
 def modulate(x, shift, scale):
-    """x: (B, L, F); shift/scale: (B, F) (diffusion_transformer.py:8-9)."""
-    return x * (1 + scale[:, None, :]) + shift[:, None, :]
+    """x: (B, L, F); shift/scale: (B, F), or (B, L, F) for the packed path
+    where the conditioning context is per-cell (one event per segment of a
+    packed row, ops/flash_packed.py) (diffusion_transformer.py:8-9)."""
+    if shift.ndim < x.ndim:
+        shift = shift[:, None, :]
+        scale = scale[:, None, :]
+    return x * (1 + scale) + shift
+
+
+def _gate(g, x):
+    """Broadcast a (B, F) or per-cell (B, L, F) residual gate onto x."""
+    return (g if g.ndim == x.ndim else g[:, None, :]) * x
 
 
 class DiTLayer(nn.Module):
@@ -43,6 +53,7 @@ class DiTLayer(nn.Module):
         context=None,
         attn_valid=None,
         attn_bias=None,
+        segment_ids=None,
         deterministic: bool = True,
     ):
         mod = nn.Dense(
@@ -66,6 +77,7 @@ class DiTLayer(nn.Module):
                 q_valid=q_valid,
                 attn_valid=attn_valid,
                 attn_bias=attn_bias,
+                segment_ids=segment_ids,
                 deterministic=deterministic,
             )
         else:  # cross-attention: modulation applied to the keys (dit ref :42-45)
@@ -78,7 +90,7 @@ class DiTLayer(nn.Module):
                 attn_bias=attn_bias,
                 deterministic=deterministic,
             )
-        q = q + gate_msa[:, None, :] * q_attn
+        q = q + _gate(gate_msa, q_attn)
 
         if self.dense_config is not None:
             dense = Dense.from_config(
@@ -89,7 +101,7 @@ class DiTLayer(nn.Module):
                 context=context,
                 deterministic=deterministic,
             )
-            q = q + gate_mlp[:, None, :] * q_mlp
+            q = q + _gate(gate_mlp, q_mlp)
         return q
 
 

@@ -18,7 +18,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.masked import masked_mean
+from ..ops.masked import masked_mean, segment_mean_percell
 from .dense import Dense, LN_EPS, xavier_uniform
 from .dit import DiTEncoder, modulate
 from .embed import TimestepEmbedder
@@ -97,7 +97,18 @@ class FlowModel(nn.Module):
         )(e_proxy, context=time_emb, deterministic=deterministic)
 
         cond_feat = jnp.concatenate([etaphi_emb, layer_emb, e_proxy_emb, e_proxy], axis=-1)
-        cond_feat_global = masked_mean(cond_feat, q_mask, axis=1, psum_axis=self.sp_axis)
+
+        # segment-packed batches (batch["seg"]: (B,S) int32, -1 = pad) carry
+        # several events per row: the pooled conditioning context becomes
+        # per-cell (each cell gets its own event's mean) and attention is
+        # restricted to same-segment pairs (ops/flash_packed.py)
+        seg = batch.get("seg")
+        if seg is not None:
+            seg = seg.astype(jnp.int32)
+            n_seg = seg.shape[1] // 128  # packer aligns events to 128 cells
+            cond_feat_global = segment_mean_percell(cond_feat, seg, n_seg)
+        else:
+            cond_feat_global = masked_mean(cond_feat, q_mask, axis=1, psum_axis=self.sp_axis)
 
         noisy_input_emb = Dense.from_config(
             dict(cfg["noisy_input_emb"], context_size=context_size),
@@ -106,7 +117,12 @@ class FlowModel(nn.Module):
         )(noisy_input, context=time_emb, deterministic=deterministic)
 
         # context = [time_emb ‖ pooled conditional features] (flow_model.py:222)
-        context = jnp.concatenate([time_emb, cond_feat_global], axis=-1)
+        if seg is not None:  # per-cell context on the packed path
+            B, S = seg.shape
+            time_bc = jnp.broadcast_to(time_emb[:, None, :], (B, S, time_emb.shape[-1]))
+            context = jnp.concatenate([time_bc, cond_feat_global], axis=-1)
+        else:
+            context = jnp.concatenate([time_emb, cond_feat_global], axis=-1)
         context_size_plus = context.shape[-1]
 
         feat_0 = jnp.concatenate([cond_feat, noisy_input_emb], axis=-1)
@@ -127,8 +143,16 @@ class FlowModel(nn.Module):
                 sp_mode=self.sp_mode,
                 remat=self.remat,
                 name="transformer",
-            )(feat, q_valid=q_mask, context=context, deterministic=deterministic)
+            )(
+                feat,
+                q_valid=q_mask,
+                context=context,
+                segment_ids=seg,
+                deterministic=deterministic,
+            )
         elif tcfg["type"] == "GPT-2+Normformer":
+            if seg is not None:
+                raise NotImplementedError("segment packing requires the DiT transformer")
             feat = TransformerEncoder(
                 embed_dim=int(cfg["h_dim"]),
                 num_layers=tcfg["num_transformer_layers"],

@@ -88,6 +88,24 @@ def masked_mean(x, valid_mask, axis: int = 1, psum_axis=None):
     return num / jnp.maximum(den, 1.0)
 
 
+def segment_mean_percell(x, seg, n_seg: int):
+    """Per-segment mean of ``x`` (B, S, C) scattered back to every cell:
+    returns (B, S, C) where each valid cell carries its event's mean and
+    padding cells (seg == -1) carry zeros.
+
+    The packed-path replacement for the per-event ``masked_mean`` pooled
+    context (flow_model.py:210-211): implemented as two small one-hot
+    matmuls (S x n_seg) so the reduction and the scatter both ride the MXU
+    instead of gather/scatter lanes.  ``n_seg`` is static (the packer's
+    max events per row, e.g. S // min_event_cells).
+    """
+    onehot = (seg[..., None] == jnp.arange(n_seg)[None, None, :]).astype(x.dtype)  # (B,S,E)
+    num = jnp.einsum("bse,bsc->bec", onehot, x)
+    den = onehot.sum(axis=1)  # (B, E)
+    mean = num / jnp.maximum(den, 1.0)[..., None]
+    return jnp.einsum("bse,bec->bsc", onehot, mean)
+
+
 def attach_context(x, context):
     """Broadcast-concatenate a lower-rank context onto x's feature axis
     (mirrors models/utils.py:84-124)."""
