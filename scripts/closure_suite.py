@@ -77,7 +77,7 @@ def generate(outdir, n_train, n_val, n_test, gen=None):
     return paths
 
 
-def write_configs(outdir, paths, epochs, fourier=0):
+def write_configs(outdir, paths, epochs, fourier=0, lr=1.0e-3):
     from scripts.compute_scale import compute_target_stats
 
     mv = yaml.safe_load(open("configs/single_e/model_and_var_synth.yml"))
@@ -108,7 +108,7 @@ def write_configs(outdir, paths, epochs, fourier=0):
         eval_every_n_epoch=max(epochs // 10, 1),
         batch_size_train=64,
         batch_size_val=64,
-        learningrate=1.0e-3,
+        learningrate=float(lr),
         # the sharp generator's saturated-logit tails produce occasional
         # huge-gradient batches; clip like the reference's PF stage does
         grad_clip_norm=1.0,
@@ -236,6 +236,7 @@ def main():
     ap.add_argument("--fourier", type=int, default=0, help="fourier_features octaves (0 = exact reference architecture)")
     ap.add_argument("--multipart", action="store_true", help="overlapping-shower generator (hard mode)")
     ap.add_argument("--train-glob", default=None, help="override train path (e.g. pre-generated multi-file set)")
+    ap.add_argument("--lr", type=float, default=1.0e-3, help="peak learning rate (the localized vanilla runs diverge at 1e-3: the circuit forms by epoch ~7, then a saturated-logit gradient spike wipes it — 3e-4 is stable)")
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument(
@@ -269,7 +270,7 @@ def main():
 
     if not args.eval_only:
         if not os.path.exists(mv_path):
-            mv_path, tr_path = write_configs(args.outdir, paths, args.epochs, fourier=args.fourier)
+            mv_path, tr_path = write_configs(args.outdir, paths, args.epochs, fourier=args.fourier, lr=args.lr)
         if not args.skip_train:
             train(mv_path, tr_path, args.outdir)
         pred_path = infer(
