@@ -127,20 +127,46 @@ def main():
         tail_shrink=True,  # underfilled tail batches run at a smaller B
     )
 
+    # BENCH_PACKED=1: segment-packed batches — ONE compiled shape for the
+    # whole set, padding only to the 128-cell block alignment, banded
+    # attention skipping cross-event blocks (ops/flash_packed.py)
+    packed = os.environ.get("BENCH_PACKED", "0") != "0"
+    pack_S = int(os.environ.get("BENCH_PACK_S", "5120"))
+    pack_rows = int(os.environ.get("BENCH_PACK_ROWS", "12"))
+
     # prepare host batches once (host prep is timed separately below)
     t_prep0 = time.time()
     batches = []
-    for idxs, bucket in batcher:
-        events = [ds.get_event(i) if i >= 0 else None for i in idxs]
-        hb = collate(events, bucket.pad_n)
-        mb = {
-            k: jnp.asarray(v)
-            for k, v in hb.items()
-            if isinstance(v, np.ndarray) and k not in ("idx",)
-        }
-        n_real = int((idxs >= 0).sum())
-        n_valid = [ds.cell_count_high[i] for i in idxs if i >= 0]
-        batches.append((mb, n_real, n_valid))
+    if packed:
+        from superresolutionhep_tpu.data.packing import collate_packed, pack_events
+        from superresolutionhep_tpu.ops.flash_packed import set_packed_defaults
+
+        max_ev = int(max(ds.cell_count_high))
+        set_packed_defaults(max_segment_len=-(-max_ev // 128) * 128)
+        layouts = pack_events(ds.cell_count_high, S=pack_S, rows_per_batch=pack_rows)
+
+        class _EvCache:
+            def __getitem__(self, i):
+                return ds.get_event(i)
+
+        cache = _EvCache()
+        for lay in layouts:
+            hb = collate_packed(cache, lay, S=pack_S)
+            mb = {k: jnp.asarray(v) for k, v in hb.items()}
+            n_valid = [n for row in lay.rows for (_, _, n) in row]
+            batches.append((mb, lay.n_events, n_valid))
+    else:
+        for idxs, bucket in batcher:
+            events = [ds.get_event(i) if i >= 0 else None for i in idxs]
+            hb = collate(events, bucket.pad_n)
+            mb = {
+                k: jnp.asarray(v)
+                for k, v in hb.items()
+                if isinstance(v, np.ndarray) and k not in ("idx",)
+            }
+            n_real = int((idxs >= 0).sum())
+            n_valid = [ds.cell_count_high[i] for i in idxs if i >= 0]
+            batches.append((mb, n_real, n_valid))
     host_prep_s = time.time() - t_prep0
 
     # warmup/compile per bucket shape
@@ -187,7 +213,16 @@ def main():
     batch_flops = []  # (padded, masked, attention_padded) per batch
     for mb, _, n_valid in batches:
         B, N = mb["eta"].shape[:2]
-        f = flow_model_flops(params, config_mv, B, N, n_valid=n_valid)
+        if packed:
+            from superresolutionhep_tpu.ops.flash_packed import PACKED_DEFAULTS
+            from superresolutionhep_tpu.tools.flops import flow_model_flops_packed
+
+            f = flow_model_flops_packed(
+                params, config_mv, np.asarray(mb["seg"]),
+                PACKED_DEFAULTS["block_q"], PACKED_DEFAULTS["block_k"],
+            )
+        else:
+            f = flow_model_flops(params, config_mv, B, N, n_valid=n_valid)
         batch_flops.append(
             (f["total"] * evals, f["total_masked"] * evals, f["attention"] * evals)
         )
@@ -287,7 +322,12 @@ def main():
                     "fast_softmax": fast,
                     "nomax_selfcheck_ok": nomax_ok,
                     "padding_flop_overhead": round(total_flops / total_flops_masked - 1.0, 3),
-                    "buckets": [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets],
+                    "packed": packed,
+                    "buckets": (
+                        [("packed", pack_rows, pack_S)]
+                        if packed
+                        else [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets]
+                    ),
                     "per_batch": per_batch,
                     "pf_inference_events_per_sec": pf_events_per_sec,
                     "sr_train": train_metrics,

@@ -185,20 +185,65 @@ class SRInference:
                 low_z[f"e_part_{pi}"] = []
                 high_z[f"e_part_{pi}"] = []
 
-        batcher = BucketBatcher(
-            ds.cell_count_high,
-            quantum=int(self.config_t.get("bucket_quantum", 128)),
-            max_batch_size=int(inf_dict.get("batch_size", 32)),
-            shuffle=False,
-            # shrink underfilled tail batches (padded slots cost real compute);
-            # a few extra compiled shapes, amortised by the persistent cache
-            tail_shrink=bool(inf_dict.get("tail_shrink", True)),
-        )
         key = jax.random.PRNGKey(int(inf_dict.get("seed", 0)))
         # stream: each batch's trajectories are consumed into the output
         # branches immediately (no per-run (E, T, N) trajectory buffer);
         # branch rows are reordered to event-index order once at the end
         positions: List[int] = []
+
+        # segment-packed fast path (`model.packed: true` or item `packed`):
+        # ONE compiled shape for the whole run, 128-cell alignment padding,
+        # banded attention (ops/flash_packed.py, data/packing.py)
+        packed = bool(inf_dict.get("packed", self.inf_cfg["model"].get("packed", False)))
+        if packed:
+            from ..data.packing import collate_packed, pack_events
+            from ..ops.flash_packed import set_packed_defaults
+
+            pack_s = int(inf_dict.get("pack_s", self.inf_cfg["model"].get("pack_s", 5120)))
+            pack_rows = int(inf_dict.get("pack_rows", self.inf_cfg["model"].get("pack_rows", 8)))
+            max_ev = int(max(ds.cell_count_high))
+            set_packed_defaults(max_segment_len=-(-max_ev // 128) * 128)
+
+            class _Cache:
+                def __getitem__(self, i):
+                    return ds.get_event(i)
+
+            for bi, lay in enumerate(pack_events(ds.cell_count_high, S=pack_s, rows_per_batch=pack_rows)):
+                hb = collate_packed(_Cache(), lay, S=pack_s)
+                batch = {k: jnp.asarray(v) for k, v in hb.items()}
+                if self.fast_softmax and not self._nomax_validated:
+                    self.fast_softmax = self._validate_nomax(batch)
+                    self._nomax_validated = True
+                traj = np.asarray(
+                    self._jitted(
+                        batch, jax.random.fold_in(key, bi), n_ensemble=n_ensemble,
+                        n_steps=self.n_steps, method=method, fast=self.fast_softmax,
+                    )
+                )  # (E, T, B, S, 1)
+                for row_i, row in enumerate(lay.rows):
+                    for ev_idx, off, n in sorted(row, key=lambda t: t[1]):
+                        ev = ds.get_event(ev_idx)
+                        self._fill_event(
+                            ev, traj[:, :, row_i, off : off + n, 0], low_z, high_z, part_z,
+                            n_ensemble=n_ensemble, store_comp=store_comp,
+                            store_inc=store_inc, max_particles=max_particles,
+                        )
+                        positions.append(ev.idx)
+
+        batcher = (
+            []
+            if packed
+            else BucketBatcher(
+                ds.cell_count_high,
+                quantum=int(self.config_t.get("bucket_quantum", 128)),
+                max_batch_size=int(inf_dict.get("batch_size", 32)),
+                shuffle=False,
+                # shrink underfilled tail batches (padded slots cost real
+                # compute); a few extra compiled shapes, amortised by the
+                # persistent cache
+                tail_shrink=bool(inf_dict.get("tail_shrink", True)),
+            )
+        )
         for bi, (idxs, bucket) in enumerate(batcher):
             events = [ds.get_event(i) if i >= 0 else None for i in idxs]
             hb = collate(events, bucket.pad_n, with_low=True, pad_n_low=bucket.pad_n)

@@ -91,6 +91,56 @@ def flow_model_flops(
     return out
 
 
+def flow_model_flops_packed(
+    params: Dict[str, Any],
+    config_mv: dict,
+    seg: np.ndarray,
+    block_q: int,
+    block_k: int,
+) -> Dict[str, float]:
+    """Forward FLOPs of ONE FlowModel evaluation on a segment-packed (B, S)
+    batch (ops/flash_packed.py).
+
+    Differences vs the bucketed count: attention executes only the banded
+    blocks (band_ranges), and the per-event context nets (adaLN modulation)
+    run per CELL because the packed context is per-cell — an accounted cost
+    of the packed layout.  Padding cells still execute the per-cell linears.
+    """
+    from ..ops.flash_packed import band_ranges
+
+    p = params.get("params", params)
+    B, S = seg.shape
+
+    per_cell = 0.0
+    per_row = 0.0  # timestep embedder: once per packed row
+    for path, d_in, d_out in _iter_kernels(p):
+        flops = 2.0 * d_in * d_out
+        if "time_step_embedder" in path:
+            per_row += flops
+        else:
+            per_cell += flops  # incl. adaLN nets: per-cell on the packed path
+
+    fm = config_mv["flow_model"]
+    n_layers = int(fm["transformer"]["num_transformer_layers"])
+    h_dim = int(fm["h_dim"])
+
+    kstart, kcnt = band_ranges(np.asarray(seg), block_q, block_k)
+    banded_pairs = float(np.asarray(kcnt, np.float64).sum()) * block_q * block_k
+    attn = n_layers * 4.0 * h_dim * banded_pairs
+
+    nv = np.asarray([(np.asarray(seg[b]) == s).sum() for b in range(B) for s in range(int(seg[b].max()) + 1 if (seg[b] >= 0).any() else 0)], np.float64)
+    linear = B * S * per_cell + B * per_row
+    attn_masked = n_layers * 4.0 * h_dim * float((nv**2).sum())
+    return {
+        "linear": linear,
+        "attention": attn,
+        "total": linear + attn,
+        "linear_masked": float(nv.sum()) * per_cell + B * per_row,
+        "attention_masked": attn_masked,
+        "total_masked": float(nv.sum()) * per_cell + B * per_row + attn_masked,
+    }
+
+
 def sampler_evals(n_steps: int, method: str) -> int:
     """Model evaluations of one sampler run over a linspace(0,1,n_steps) grid.
 
