@@ -142,7 +142,10 @@ def main():
         from superresolutionhep_tpu.ops.flash_packed import set_packed_defaults
 
         max_ev = int(max(ds.cell_count_high))
-        set_packed_defaults(max_segment_len=-(-max_ev // 128) * 128)
+        blk = int(os.environ.get("BENCH_PACK_BLOCK", "256"))
+        set_packed_defaults(
+            block_q=blk, block_k=blk, max_segment_len=-(-max_ev // 128) * 128
+        )
         layouts = pack_events(ds.cell_count_high, S=pack_S, rows_per_batch=pack_rows)
 
         class _EvCache:
