@@ -119,14 +119,18 @@ def main():
             bs = max(1, min(64, (64 * 1536) // L))
             for s in range(0, len(idxs), bs):
                 chunk = idxs[s : s + bs]
-                B = len(chunk)
+                # pad tail chunks to a full B: one compiled shape per L
+                # (every distinct shape is a 30-240 s axon compile); dead
+                # rows skip kernel compute via the valid mask
+                cnt = np.zeros(bs, np.int64)
+                cnt[: len(chunk)] = counts[chunk]
                 q, k, v = (
-                    jnp.asarray(rng.normal(size=(B, L, H, D)), jnp.bfloat16)
+                    jnp.asarray(rng.normal(size=(bs, L, H, D)), jnp.bfloat16)
                     for _ in range(3)
                 )
-                valid = jnp.asarray(np.arange(L)[None, :] < counts[chunk][:, None])
+                valid = jnp.asarray(np.arange(L)[None, :] < cnt[:, None])
                 datas.append((q, k, v, valid))
-                exec_pairs += float(B) * L * L  # upper bound; block skip trims tails
+                exec_pairs += float(len(chunk)) * L * L  # upper bound; block skip trims tails
         for d in datas:
             sync(fn(*d))  # compile+warm
         for d in datas:

@@ -77,7 +77,7 @@ def generate(outdir, n_train, n_val, n_test, gen=None):
     return paths
 
 
-def write_configs(outdir, paths, epochs, fourier=0, lr=1.0e-3):
+def write_configs(outdir, paths, epochs, fourier=0, lr=1.0e-3, eval_every=None):
     from scripts.compute_scale import compute_target_stats
 
     mv = yaml.safe_load(open("configs/single_e/model_and_var_synth.yml"))
@@ -105,7 +105,7 @@ def write_configs(outdir, paths, epochs, fourier=0, lr=1.0e-3):
         base_root_dir=outdir,
         train_path=paths["train"],
         val_path=paths["val"],
-        eval_every_n_epoch=max(epochs // 10, 1),
+        eval_every_n_epoch=eval_every if eval_every else max(epochs // 10, 1),
         batch_size_train=64,
         batch_size_val=64,
         learningrate=float(lr),
@@ -237,6 +237,13 @@ def main():
     ap.add_argument("--multipart", action="store_true", help="overlapping-shower generator (hard mode)")
     ap.add_argument("--train-glob", default=None, help="override train path (e.g. pre-generated multi-file set)")
     ap.add_argument("--lr", type=float, default=1.0e-3, help="peak learning rate (the localized vanilla runs diverge at 1e-3: the circuit forms by epoch ~7, then a saturated-logit gradient spike wipes it — 3e-4 is stable)")
+    ap.add_argument(
+        "--eval-every", type=int, default=None,
+        help="val cadence in epochs (default epochs//10). The vanilla runs "
+        "need a dense cadence: best-3 checkpointing keys on val/loss_raw, "
+        "and a saturated-logit spike can wipe a freshly-formed circuit "
+        "between two sparse evals, losing the best window entirely",
+    )
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument(
@@ -270,7 +277,10 @@ def main():
 
     if not args.eval_only:
         if not os.path.exists(mv_path):
-            mv_path, tr_path = write_configs(args.outdir, paths, args.epochs, fourier=args.fourier, lr=args.lr)
+            mv_path, tr_path = write_configs(
+                args.outdir, paths, args.epochs, fourier=args.fourier, lr=args.lr,
+                eval_every=args.eval_every,
+            )
         if not args.skip_train:
             train(mv_path, tr_path, args.outdir)
         pred_path = infer(

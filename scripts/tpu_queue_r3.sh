@@ -16,11 +16,14 @@ run() {
 # 1. packed bench (ONE compiled shape; cheap compile, answers the >=4 ev/s
 #    question) then the bucketed fast-path bench (warms the .jax_cache the
 #    driver's end-of-round bench.py run will reuse)
-run bench_packed   env BENCH_PACKED=1 python bench.py
+# S=6144 x 10 rows: 13 batches vs 14 at the 5120x12 default (dense slots
+# -7.1%, banded attention exec/true 1.088 vs 1.095 — measured on the bench
+# distribution with tools in scripts/bench_packed_kernel.py)
+run bench_packed   env BENCH_PACKED=1 BENCH_PACK_S=6144 BENCH_PACK_ROWS=10 python bench.py
 run bench_bucketed env BENCH_PACKED=0 python bench.py
 
 # 2. kernel-level packed block sweep + serving latency table
-run packed_sweep   python scripts/bench_packed_kernel.py
+run packed_sweep   python scripts/bench_packed_kernel.py --S 6144 --rows 10
 run serving        python scripts/measure_serving_latency.py
 
 # 3. the long one: exact-reference-architecture (vanilla) closure in the
@@ -34,6 +37,7 @@ run vanilla python scripts/closure_suite.py \
 #    spectral capacity
 run vanilla_sigma python scripts/closure_suite.py \
   --outdir runs/closure_vanilla_sigma16 --sigma 1.6 \
-  --n-train 4096 --n-val 256 --n-test 256 --epochs 120 --lr 1e-3
+  --n-train 4096 --n-val 256 --n-test 256 --epochs 120 --lr 1e-3 \
+  --eval-every 2
 
 echo "=== queue done $(date -u +%H:%M:%S) ==="

@@ -157,11 +157,19 @@ def _packed_fwd(qT, kT, vT, seg, BQ: int, BK: int, max_band_blocks: int, nomax: 
     NKB = min(nK, max_band_blocks)
     kstart, kcnt = band_ranges(seg, BQ, BK)
 
+    def _band_idx(b, i, j, ks, kc):
+        # steps beyond the band (j >= kcnt, compute skipped by pl.when) clamp
+        # to the band's LAST block, not nK-1: the repeated block index lets
+        # the Mosaic pipeline skip the copy, so off-band steps cost no DMA
+        # (clamping to nK-1 kept streaming new, never-read K/V blocks)
+        last = jnp.maximum(kc[b, i] - 1, 0)
+        return jnp.minimum(jnp.minimum(ks[b, i] + j, ks[b, i] + last), nK - 1)
+
     def kmap(b, h, i, j, ks, kc):
-        return (b, h, 0, jnp.minimum(ks[b, i] + j, nK - 1))
+        return (b, h, 0, _band_idx(b, i, j, ks, kc))
 
     def ksegmap(b, h, i, j, ks, kc):
-        return (b, jnp.minimum(ks[b, i] + j, nK - 1))
+        return (b, _band_idx(b, i, j, ks, kc))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
