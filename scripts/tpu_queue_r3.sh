@@ -28,14 +28,20 @@ run serving        python scripts/measure_serving_latency.py
 
 # 3. the long one: exact-reference-architecture (vanilla) closure in the
 #    localized-axis regime, lr 3e-4 (VERDICT r2 item 4)
-run vanilla python scripts/closure_suite.py \
+run_long() {
+  local name="$1"; shift
+  echo "=== [$name] start $(date -u +%H:%M:%S) ==="
+  timeout 14400 "$@" > "runs/tpu_queue/${name}.log" 2>&1
+  echo "=== [$name] exit $? at $(date -u +%H:%M:%S) ==="
+}
+run_long vanilla python scripts/closure_suite.py \
   --outdir runs/closure_vanilla_local2 --axis-jitter 1.5 \
   --n-train 4096 --n-val 256 --n-test 256 --epochs 150 --lr 3e-4
 
 # 4. second vanilla leg (VERDICT r2 #4 'coarser pitch' alternative): wider
 #    showers => smooth subcell ratio field within the raw-coordinate MLP's
 #    spectral capacity
-run vanilla_sigma python scripts/closure_suite.py \
+run_long vanilla_sigma python scripts/closure_suite.py \
   --outdir runs/closure_vanilla_sigma16 --sigma 1.6 \
   --n-train 4096 --n-val 256 --n-test 256 --epochs 120 --lr 1e-3 \
   --eval-every 2

@@ -51,14 +51,22 @@ class DiTLayer(nn.Module):
         k=None,
         kv_valid=None,
         context=None,
+        context_seg=None,
+        seg_onehot=None,
         attn_valid=None,
         attn_bias=None,
         segment_ids=None,
         deterministic: bool = True,
     ):
+        # packed path (context_seg (B,E,C) + seg_onehot (B,S,E)): the context
+        # is constant within a segment, so the 6-way modulation net runs per
+        # segment and its output is scattered per cell by one (S x E) matmul
+        # — ~25x fewer modulation-net FLOPs than evaluating it per cell
         mod = nn.Dense(
             6 * self.embed_dim, kernel_init=xavier_uniform, dtype=self.dtype, name="adaLN_modulation"
-        )(nn.silu(context))
+        )(nn.silu(context_seg if context_seg is not None else context))
+        if context_seg is not None:
+            mod = jnp.einsum("bse,bef->bsf", seg_onehot, mod)
         (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
 
         norm1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")

@@ -18,7 +18,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.masked import masked_mean, segment_mean_percell
+from ..ops.masked import masked_mean, segment_mean, segment_onehot
 from .dense import Dense, LN_EPS, xavier_uniform
 from .dit import DiTEncoder, modulate
 from .embed import TimestepEmbedder
@@ -103,10 +103,12 @@ class FlowModel(nn.Module):
         # per-cell (each cell gets its own event's mean) and attention is
         # restricted to same-segment pairs (ops/flash_packed.py)
         seg = batch.get("seg")
+        seg_onehot = None
         if seg is not None:
             seg = seg.astype(jnp.int32)
             n_seg = seg.shape[1] // 128  # packer aligns events to 128 cells
-            cond_feat_global = segment_mean_percell(cond_feat, seg, n_seg)
+            seg_onehot = segment_onehot(seg, n_seg, cond_feat.dtype)  # (B,S,E)
+            cond_seg = segment_mean(cond_feat, seg_onehot)  # (B, E, C)
         else:
             cond_feat_global = masked_mean(cond_feat, q_mask, axis=1, psum_axis=self.sp_axis)
 
@@ -117,11 +119,17 @@ class FlowModel(nn.Module):
         )(noisy_input, context=time_emb, deterministic=deterministic)
 
         # context = [time_emb ‖ pooled conditional features] (flow_model.py:222)
-        if seg is not None:  # per-cell context on the packed path
-            B, S = seg.shape
-            time_bc = jnp.broadcast_to(time_emb[:, None, :], (B, S, time_emb.shape[-1]))
-            context = jnp.concatenate([time_bc, cond_feat_global], axis=-1)
+        if seg is not None:
+            # packed path: the context is constant within a segment, so the
+            # adaLN modulation nets run per SEGMENT (B, E, ...) and their
+            # outputs are scattered per cell with a one-hot matmul — the
+            # per-cell context below feeds only the Dense concat paths
+            B, E = seg_onehot.shape[0], seg_onehot.shape[2]
+            time_seg = jnp.broadcast_to(time_emb[:, None, :], (B, E, time_emb.shape[-1]))
+            context_seg = jnp.concatenate([time_seg, cond_seg], axis=-1)  # (B,E,Ctx)
+            context = jnp.einsum("bse,bec->bsc", seg_onehot, context_seg)  # per-cell
         else:
+            context_seg = None
             context = jnp.concatenate([time_emb, cond_feat_global], axis=-1)
         context_size_plus = context.shape[-1]
 
@@ -147,6 +155,8 @@ class FlowModel(nn.Module):
                 feat,
                 q_valid=q_mask,
                 context=context,
+                context_seg=context_seg,
+                seg_onehot=seg_onehot,
                 segment_ids=seg,
                 deterministic=deterministic,
             )
@@ -171,7 +181,9 @@ class FlowModel(nn.Module):
         if cfg.get("final_modulation", False):
             mod = nn.Dense(
                 2 * feat.shape[-1], kernel_init=xavier_uniform, dtype=self.dtype, name="v_t_adaLN_modulation"
-            )(nn.silu(context))
+            )(nn.silu(context_seg if context_seg is not None else context))
+            if context_seg is not None:  # scatter per-segment mods to cells
+                mod = jnp.einsum("bse,bef->bsf", seg_onehot, mod)
             v_t_shift, v_t_scale = jnp.split(mod, 2, axis=-1)
             feat = modulate(
                 nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm_v_t")(feat), v_t_shift, v_t_scale

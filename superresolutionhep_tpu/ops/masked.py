@@ -88,6 +88,22 @@ def masked_mean(x, valid_mask, axis: int = 1, psum_axis=None):
     return num / jnp.maximum(den, 1.0)
 
 
+def segment_onehot(seg, n_seg: int, dtype):
+    """(B, S) segment ids -> (B, S, n_seg) one-hot; pad cells (seg == -1)
+    are all-zero rows.  The packed path's gather/scatter currency: both the
+    per-segment reduction and the per-cell broadcast are (S x n_seg)
+    matmuls that ride the MXU instead of gather/scatter lanes."""
+    return (seg[..., None] == jnp.arange(n_seg)[None, None, :]).astype(dtype)
+
+
+def segment_mean(x, onehot):
+    """Per-segment mean of ``x`` (B, S, C) given a segment_onehot (B, S, E):
+    returns (B, E, C); empty segments are zero."""
+    num = jnp.einsum("bse,bsc->bec", onehot, x)
+    den = onehot.sum(axis=1)  # (B, E)
+    return num / jnp.maximum(den, 1.0)[..., None]
+
+
 def segment_mean_percell(x, seg, n_seg: int):
     """Per-segment mean of ``x`` (B, S, C) scattered back to every cell:
     returns (B, S, C) where each valid cell carries its event's mean and
@@ -99,11 +115,8 @@ def segment_mean_percell(x, seg, n_seg: int):
     instead of gather/scatter lanes.  ``n_seg`` is static (the packer's
     max events per row, e.g. S // min_event_cells).
     """
-    onehot = (seg[..., None] == jnp.arange(n_seg)[None, None, :]).astype(x.dtype)  # (B,S,E)
-    num = jnp.einsum("bse,bsc->bec", onehot, x)
-    den = onehot.sum(axis=1)  # (B, E)
-    mean = num / jnp.maximum(den, 1.0)[..., None]
-    return jnp.einsum("bse,bec->bsc", onehot, mean)
+    onehot = segment_onehot(seg, n_seg, x.dtype)  # (B,S,E)
+    return jnp.einsum("bse,bec->bsc", onehot, segment_mean(x, onehot))
 
 
 def attach_context(x, context):

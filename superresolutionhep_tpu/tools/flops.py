@@ -102,23 +102,36 @@ def flow_model_flops_packed(
     batch (ops/flash_packed.py).
 
     Differences vs the bucketed count: attention executes only the banded
-    blocks (band_ranges), and the per-event context nets (adaLN modulation)
-    run per CELL because the packed context is per-cell — an accounted cost
-    of the packed layout.  Padding cells still execute the per-cell linears.
+    blocks (band_ranges); the adaLN modulation nets run per SEGMENT slot
+    (E = S // 128 per row) with their outputs scattered per cell through a
+    one-hot (S x E) matmul — both the per-segment nets and the scatter/
+    gather matmuls are counted.  Padding cells still execute the per-cell
+    linears.
     """
     from ..ops.flash_packed import band_ranges
 
     p = params.get("params", params)
     B, S = seg.shape
+    E = S // 128  # segment slots per row (models/flow_model.py packed path)
 
     per_cell = 0.0
+    per_seg = 0.0  # adaLN modulation nets: once per segment slot
     per_row = 0.0  # timestep embedder: once per packed row
+    scatter_d = 0.0  # one-hot scattered feature widths (per-cell 2*E*d each)
+    ctx_d = 0.0  # context width (d_in of the modulation nets)
     for path, d_in, d_out in _iter_kernels(p):
         flops = 2.0 * d_in * d_out
         if "time_step_embedder" in path:
             per_row += flops
+        elif any(m in path for m in _PER_EVENT_MARKERS):
+            per_seg += flops
+            scatter_d += d_out  # per-cell scatter of the modulation output
+            ctx_d = d_in  # context width (same for every modulation net)
         else:
-            per_cell += flops  # incl. adaLN nets: per-cell on the packed path
+            per_cell += flops
+    if per_seg:
+        scatter_d += ctx_d  # the ONE per-cell context gather (flow_model)
+    per_cell += 2.0 * E * scatter_d  # one-hot (S x E) gather/scatter matmuls
 
     fm = config_mv["flow_model"]
     n_layers = int(fm["transformer"]["num_transformer_layers"])
@@ -129,15 +142,16 @@ def flow_model_flops_packed(
     attn = n_layers * 4.0 * h_dim * banded_pairs
 
     nv = np.asarray([(np.asarray(seg[b]) == s).sum() for b in range(B) for s in range(int(seg[b].max()) + 1 if (seg[b] >= 0).any() else 0)], np.float64)
-    linear = B * S * per_cell + B * per_row
+    linear = B * S * per_cell + B * E * per_seg + B * per_row
+    linear_masked = float(nv.sum()) * per_cell + len(nv) * per_seg + B * per_row
     attn_masked = n_layers * 4.0 * h_dim * float((nv**2).sum())
     return {
         "linear": linear,
         "attention": attn,
         "total": linear + attn,
-        "linear_masked": float(nv.sum()) * per_cell + B * per_row,
+        "linear_masked": linear_masked,
         "attention_masked": attn_masked,
-        "total_masked": float(nv.sum()) * per_cell + B * per_row + attn_masked,
+        "total_masked": linear_masked + attn_masked,
     }
 
 

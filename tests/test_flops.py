@@ -73,3 +73,34 @@ def test_sampler_eval_counts():
     assert sampler_evals(25, "euler") == 24
     assert sampler_evals(25, "midpoint") == 48
     assert sampler_evals(25, "rk4") == 96
+
+
+def test_packed_counter_consistent_with_bucketed():
+    """Packed-layout counter vs the bucketed counter on an equivalent batch:
+    B rows of E full 128-cell segments == B*E events of 128 cells.  With
+    block sizes 128 the band covers exactly the diagonal, so banded
+    attention must equal the bucketed mask-true count; the packed linear
+    count differs only by the one-hot gather/scatter matmuls (per-segment
+    adaLN modulation, models/flow_model.py packed path) — a small,
+    strictly positive overhead."""
+    from superresolutionhep_tpu.tools.flops import flow_model_flops_packed
+
+    B, E = 2, 4
+    S = E * 128
+    cfg, _, _, params = _setup(2, 128)
+    seg = np.repeat(np.arange(E, dtype=np.int32)[None, :], 128, axis=0).T.reshape(1, S)
+    seg = np.repeat(seg, B, axis=0)
+
+    fp = flow_model_flops_packed(params, cfg, seg, block_q=128, block_k=128)
+    fb = flow_model_flops(params, cfg, B * E, 128, n_valid=[128] * (B * E))
+
+    # attention: diagonal band == mask-true bucketed count, padded == masked
+    assert np.isclose(fp["attention"], fb["attention_masked"])
+    assert np.isclose(fp["attention_masked"], fb["attention_masked"])
+
+    # linear: bucketed + scatter overhead; time embedder runs per ROW on the
+    # packed path (B rows) vs per event (B*E) on the bucketed one, so the
+    # packed count is lower on that term — bound both sides
+    assert fp["linear_masked"] > 0.95 * fb["linear_masked"]
+    assert fp["linear_masked"] < 1.25 * fb["linear_masked"]
+    assert fp["total_masked"] == fp["linear_masked"] + fp["attention_masked"]
