@@ -104,21 +104,6 @@ def segment_mean(x, onehot):
     return num / jnp.maximum(den, 1.0)[..., None]
 
 
-def segment_mean_percell(x, seg, n_seg: int):
-    """Per-segment mean of ``x`` (B, S, C) scattered back to every cell:
-    returns (B, S, C) where each valid cell carries its event's mean and
-    padding cells (seg == -1) carry zeros.
-
-    The packed-path replacement for the per-event ``masked_mean`` pooled
-    context (flow_model.py:210-211): implemented as two small one-hot
-    matmuls (S x n_seg) so the reduction and the scatter both ride the MXU
-    instead of gather/scatter lanes.  ``n_seg`` is static (the packer's
-    max events per row, e.g. S // min_event_cells).
-    """
-    onehot = segment_onehot(seg, n_seg, x.dtype)  # (B,S,E)
-    return jnp.einsum("bse,bec->bsc", onehot, segment_mean(x, onehot))
-
-
 def attach_context(x, context):
     """Broadcast-concatenate a lower-rank context onto x's feature axis
     (mirrors models/utils.py:84-124)."""
