@@ -131,7 +131,13 @@ def write_configs(outdir, paths, epochs, fourier=0, lr=1.0e-3, eval_every=None):
 def train(mv_path, tr_path, outdir):
     from superresolutionhep_tpu.cli.train_sr import main as train_main
 
-    train_main(["-cmv", mv_path, "-ct", tr_path, "--run_dir", os.path.join(outdir, "run"), "--debug_mode"])
+    # --resume: no-op on a fresh run dir; after a mid-run crash (e.g. the
+    # TPU tunnel dropping during a long vanilla leg) a re-invocation with
+    # the same args continues from the last checkpoint instead of epoch 0
+    train_main(
+        ["-cmv", mv_path, "-ct", tr_path, "--run_dir", os.path.join(outdir, "run"),
+         "--debug_mode", "--resume"]
+    )
 
 
 def infer(mv_path, tr_path, outdir, paths, n_ensemble, n_steps, ode_method, max_particles=1):

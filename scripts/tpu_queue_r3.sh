@@ -1,49 +1,77 @@
 #!/bin/bash
-# Round-3 TPU measurement queue: run pending chip measurements in priority
-# order as soon as the axon tunnel is back, then the long vanilla-closure
-# training run.  Each stage logs to runs/tpu_queue/.
+# Round-3 TPU measurement queue, flap-tolerant: each leg re-checks that the
+# axon tunnel is up, runs, and drops a .done marker on success.  The whole
+# list loops until every leg is done (a leg that dies when the tunnel drops
+# mid-run stays pending and is retried on the next pass; the vanilla
+# closure legs resume training from their last checkpoint via --resume).
+# Logs: runs/tpu_queue/<name>.log ; markers: runs/tpu_queue/<name>.done
 set -u
 cd /root/repo
 mkdir -p runs/tpu_queue
 
-run() {
-  local name="$1"; shift
-  echo "=== [$name] start $(date -u +%H:%M:%S) ==="
-  timeout 7200 "$@" > "runs/tpu_queue/${name}.log" 2>&1
-  echo "=== [$name] exit $? at $(date -u +%H:%M:%S) ==="
+tpu_up() {
+  timeout 300 python -c "import jax; assert jax.devices()[0].platform != 'cpu'" 2>/dev/null
 }
 
-# 1. packed bench (ONE compiled shape; cheap compile, answers the >=4 ev/s
-#    question) then the bucketed fast-path bench (warms the .jax_cache the
-#    driver's end-of-round bench.py run will reuse)
-# S=6144 x 10 rows: 13 batches vs 14 at the 5120x12 default (dense slots
-# -7.1%, banded attention exec/true 1.088 vs 1.095 — measured on the bench
-# distribution with tools in scripts/bench_packed_kernel.py)
-run bench_packed   env BENCH_PACKED=1 BENCH_PACK_S=6144 BENCH_PACK_ROWS=10 python bench.py
-run bench_bucketed env BENCH_PACKED=0 python bench.py
-
-# 2. kernel-level packed block sweep + serving latency table
-run packed_sweep   python scripts/bench_packed_kernel.py --S 6144 --rows 10
-run serving        python scripts/measure_serving_latency.py
-
-# 3. the long one: exact-reference-architecture (vanilla) closure in the
-#    localized-axis regime, lr 3e-4 (VERDICT r2 item 4)
-run_long() {
-  local name="$1"; shift
-  echo "=== [$name] start $(date -u +%H:%M:%S) ==="
-  timeout 14400 "$@" > "runs/tpu_queue/${name}.log" 2>&1
-  echo "=== [$name] exit $? at $(date -u +%H:%M:%S) ==="
+wait_tpu() {
+  while ! tpu_up; do
+    echo "[queue] TPU unavailable at $(date -u +%H:%M:%S); retrying in 60s"
+    sleep 60
+  done
 }
-run_long vanilla python scripts/closure_suite.py \
-  --outdir runs/closure_vanilla_local2 --axis-jitter 1.5 \
-  --n-train 4096 --n-val 256 --n-test 256 --epochs 150 --lr 3e-4
 
-# 4. second vanilla leg (VERDICT r2 #4 'coarser pitch' alternative): wider
-#    showers => smooth subcell ratio field within the raw-coordinate MLP's
-#    spectral capacity
-run_long vanilla_sigma python scripts/closure_suite.py \
-  --outdir runs/closure_vanilla_sigma16 --sigma 1.6 \
-  --n-train 4096 --n-val 256 --n-test 256 --epochs 120 --lr 1e-3 \
-  --eval-every 2
+# leg <name> <timeout_s> <cmd...>: skip if done, else wait for TPU and run
+leg() {
+  local name="$1" tmo="$2"; shift 2
+  [ -e "runs/tpu_queue/${name}.done" ] && return 0
+  wait_tpu
+  echo "=== [$name] start $(date -u +%H:%M:%S) ==="
+  timeout "$tmo" "$@" >> "runs/tpu_queue/${name}.log" 2>&1
+  local rc=$?
+  echo "=== [$name] exit $rc at $(date -u +%H:%M:%S) ==="
+  [ "$rc" -eq 0 ] && touch "runs/tpu_queue/${name}.done"
+  return 0
+}
+
+pending() {
+  for n in bench_packed bench_bucketed packed_sweep serving vanilla vanilla_sigma; do
+    [ -e "runs/tpu_queue/${n}.done" ] || return 0
+  done
+  return 1
+}
+
+for pass in 1 2 3 4 5 6 7 8; do
+  pending || break
+  echo "=== queue pass $pass $(date -u +%H:%M:%S) ==="
+
+  # 1. packed bench (ONE compiled shape; answers the >=4 ev/s question),
+  #    then the bucketed fast-path bench (warms .jax_cache for the driver's
+  #    end-of-round bench.py run).
+  # S=6144 x 10 rows: 13 batches vs 14 at the 5120x12 default (dense slots
+  # -7.1%, banded attention exec/true 1.088 vs 1.095 — measured on the bench
+  # distribution with tools in scripts/bench_packed_kernel.py)
+  leg bench_packed   7200 env BENCH_PACKED=1 BENCH_PACK_S=6144 BENCH_PACK_ROWS=10 python bench.py
+  leg bench_bucketed 7200 env BENCH_PACKED=0 python bench.py
+
+  # 2. kernel-level packed block sweep + serving latency table
+  leg packed_sweep   7200 python scripts/bench_packed_kernel.py --S 6144 --rows 10
+  leg serving        7200 python scripts/measure_serving_latency.py
+
+  # 3. the long one: exact-reference-architecture (vanilla) closure in the
+  #    localized-axis regime, lr 3e-4 (VERDICT r2 item 4); resumes from the
+  #    last checkpoint if a previous pass died mid-run
+  leg vanilla 14400 python scripts/closure_suite.py \
+    --outdir runs/closure_vanilla_local2 --axis-jitter 1.5 \
+    --n-train 4096 --n-val 256 --n-test 256 --epochs 150 --lr 3e-4 \
+    --eval-every 3
+
+  # 4. second vanilla leg (VERDICT r2 #4 'coarser pitch' alternative): wider
+  #    showers => smooth subcell ratio field within the raw-coordinate MLP's
+  #    spectral capacity
+  leg vanilla_sigma 14400 python scripts/closure_suite.py \
+    --outdir runs/closure_vanilla_sigma16 --sigma 1.6 \
+    --n-train 4096 --n-val 256 --n-test 256 --epochs 120 --lr 1e-3 \
+    --eval-every 2
+done
 
 echo "=== queue done $(date -u +%H:%M:%S) ==="

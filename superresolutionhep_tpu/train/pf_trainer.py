@@ -31,7 +31,7 @@ from ..data.bucketing import BucketBatcher
 from ..data.pf_dataset import PflowEvents, collate_pf
 from ..losses.set2set import set_to_set_incidence_loss, set_to_set_kinematics_loss
 from ..models.pf.model_pf import SAPF
-from ..parallel.mesh import data_sharding, make_mesh
+from ..parallel.mesh import data_sharding, make_mesh, replicate
 from ..transforms import build_var_transforms
 from .checkpoint import CheckpointManager
 from .metrics import MetricsLogger
@@ -240,8 +240,11 @@ class PFTrainer:
                 restored = self.ckpt.restore(
                     {"params": self.state.params, "opt_state": self.state.opt_state}, which="last"
                 )
-                self.state.params = restored["params"]
-                self.state.opt_state = restored["opt_state"]
+                # re-place on the mesh (committed single-device arrays from
+                # orbax restore conflict with the data-sharded batch in jit)
+                rep = replicate(self.mesh)
+                self.state.params = jax.device_put(restored["params"], rep)
+                self.state.opt_state = jax.device_put(restored["opt_state"], rep)
                 self.state.epoch = (self.ckpt.latest_step() or 0) + 1
             except FileNotFoundError:
                 pass

@@ -227,8 +227,11 @@ class SRTrainer:
                 restored = self.ckpt.restore(
                     {"params": self.state.params, "opt_state": self.state.opt_state}, which="last"
                 )
-                self.state.params = restored["params"]
-                self.state.opt_state = restored["opt_state"]
+                # re-place on the mesh: restored arrays are committed to a
+                # single device, which jit rejects against the data-sharded
+                # batch (fresh-init params are uncommitted and auto-replicate)
+                self.state.params = jax.device_put(restored["params"], self._rep)
+                self.state.opt_state = jax.device_put(restored["opt_state"], self._rep)
                 self.state.epoch = (self.ckpt.latest_step() or 0) + 1
             except FileNotFoundError:
                 pass

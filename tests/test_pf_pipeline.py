@@ -230,3 +230,40 @@ def test_pf_training_kinematics_loss_variant(sr_pred_files, tmp_path):
     rec = [json.loads(l) for l in open(tmp_path / "pf_kin" / "metrics.jsonl")][-1]
     assert "train/kin_loss" in rec and np.isfinite(rec["train/kin_loss"])
     assert "train/eta_loss" in rec
+
+
+def test_pf_resume_from_checkpoint(sr_pred_files, tmp_path):
+    """PF fit(resume=True): a fresh trainer on the same run dir restores the
+    last checkpoint, re-places it on the mesh (committed single-device
+    arrays from orbax conflict with the data-sharded batch in jit), and
+    trains only the remaining epochs."""
+    glob_arg, _ = sr_pred_files
+    cfg_mv = pf_config_mv()
+    cfg_t = {
+        "num_epochs": 1,
+        "eval_every_n_epoch": 1,
+        "batch_size_train": 4,
+        "batch_size_val": 4,
+        "bucket_quantum": 64,
+        "learningrate": 1.0e-3,
+        "lr_scheduler": None,
+        "energy_threshold": 1.0,
+        "resolution": "low",
+        "loss_on_inc_wts": True,
+        "card_loss_weight": 0.5,
+        "train_glob_arg": glob_arg,
+        "val_glob_arg": glob_arg,
+        "reduce_ds_train": -1,
+        "reduce_ds_val": -1,
+    }
+    run = str(tmp_path / "pf_resume")
+    t1 = PFTrainer(cfg_mv, cfg_t, run_dir=run, seed=0)
+    s1 = t1.fit()
+    assert s1.epoch == 1
+    t1.ckpt.wait()
+
+    t2 = PFTrainer(cfg_mv, dict(cfg_t, num_epochs=2), run_dir=run, seed=1)
+    s2 = t2.fit(resume=True)
+    assert s2.epoch == 2
+    t2.ckpt.wait()
+    assert t2.ckpt.latest_step() == 1

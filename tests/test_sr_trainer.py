@@ -134,3 +134,46 @@ def test_nonfinite_diagnostics_dump(paths, tmp_path):
     assert "params" in rep and "activations" in rep
     # at least one captured activation must be flagged non-finite
     assert any(v.get("n_nonfinite", 0) > 0 for v in rep["activations"].values())
+
+
+def test_resume_from_checkpoint(paths, tmp_path):
+    """fit(resume=True) continues from the last checkpoint: a fresh trainer
+    on the same run dir picks up params/opt_state and the epoch counter
+    (train/sr_trainer.py fit), and a resumed fit on an already-complete run
+    is a clean no-op — the contract the flap-tolerant TPU queue's closure
+    legs rely on (scripts/tpu_queue_r3.sh retries a leg whose process died
+    mid-training)."""
+    import jax
+
+    train, val, _ = paths
+    run = str(tmp_path / "resume_run")
+    config_mv, config_t = make_configs(train, val, run)
+    config_t = dict(config_t, n_event_displays=0)
+    ds, vds = SupResEvents(train, config_mv), SupResEvents(val, config_mv)
+
+    t1 = SRTrainer(config_mv, config_t, run_dir=run, seed=0)
+    s1 = t1.fit(ds, vds, num_epochs=1)
+    assert s1.epoch == 1
+    t1.ckpt.wait()
+
+    # new process/trainer (different seed => different fresh init): resume
+    # must restore epoch 0's checkpoint and train only the remaining epoch
+    t2 = SRTrainer(config_mv, config_t, run_dir=run, seed=1)
+    s2 = t2.fit(ds, vds, num_epochs=2, resume=True)
+    assert s2.epoch == 2
+    t2.ckpt.wait()
+    assert t2.ckpt.latest_step() == 1
+
+    # already complete: a further resumed fit is a no-op that leaves the
+    # checkpointed params untouched
+    t3 = SRTrainer(config_mv, config_t, run_dir=run, seed=2)
+    s3 = t3.fit(ds, vds, num_epochs=2, resume=True)
+    assert s3.epoch == 2
+    restored = t3.ckpt.restore(
+        {"params": s3.params, "opt_state": s3.opt_state}, which="last"
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s3.params),
+        jax.tree_util.tree_leaves(restored["params"]),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
