@@ -34,7 +34,7 @@ leg() {
 }
 
 pending() {
-  for n in bench_packed bench_bucketed packed_sweep serving vanilla vanilla_sigma; do
+  for n in bench_packed bench_bucketed packed_sweep serving vanilla_fast vanilla vanilla_sigma; do
     [ -e "runs/tpu_queue/${n}.done" ] || return 0
   done
   return 1
@@ -56,6 +56,16 @@ for pass in 1 2 3 4 5 6 7 8; do
   # 2. kernel-level packed block sweep + serving latency table
   leg packed_sweep   7200 python scripts/bench_packed_kernel.py --S 6144 --rows 10
   leg serving        7200 python scripts/measure_serving_latency.py
+
+  # 3a. cheap insurance leg (~20 min chip): the localized-regime evidence run
+  #     (runs/closure_vanilla_local, 16384 ev, lr 1e-3) hit train loss 0.06 by
+  #     epoch 7 before a saturated-logit spike wiped it at epoch 9 — with
+  #     eval-every-1 and best-3 checkpointing the formed circuit is captured
+  #     even if the spike recurs
+  leg vanilla_fast 5400 python scripts/closure_suite.py \
+    --outdir runs/closure_vanilla_fast --axis-jitter 1.5 \
+    --n-train 16384 --n-val 256 --n-test 256 --epochs 10 --lr 1e-3 \
+    --eval-every 1
 
   # 3. the long one: exact-reference-architecture (vanilla) closure in the
   #    localized-axis regime, lr 3e-4 (VERDICT r2 item 4); resumes from the
