@@ -206,6 +206,26 @@ def main():
             mb0,
         )
         print(f"nomax selfcheck: {'OK' if nomax_ok else 'FAILED'}", file=sys.stderr)
+        if not nomax_ok:
+            # production semantics (inference/sr.py): fall back to the robust
+            # online-softmax kernel — never publish throughput measured with
+            # a kernel that failed its own numerical gate
+            fast = False
+
+            def run_batch_robust(batch, key):
+                return generate_ensemble(
+                    lambda v, b, x, t: model_robust.apply(v, b, x, t),
+                    params, batch, key, n_ensemble=N_ENSEMBLE,
+                    n_steps=N_STEPS, method=METHOD, ret_seq=False,
+                )
+
+            jitted = jax.jit(run_batch_robust)
+            rewarmed = set()
+            for mb, _, _ in batches:
+                if mb["eta"].shape not in rewarmed:
+                    rewarmed.add(mb["eta"].shape)
+                    sync(jitted(mb, key))
+                    sync(jitted(mb, key))
 
     # analytic FLOPs per batch (XLA cost_analysis cannot see through the
     # Pallas custom call and missed ~5/6 of the work in round 2 — VERDICT r2;

@@ -204,7 +204,12 @@ def evaluate(pred_path, sr_test_glob, res):
     # truth weights from the per-particle energy branches of the SR output
     tree_name = "High_Tree" if res == "high" else "Low_Tree"
     e_branch = "e_pred_raw" if res == "high" else "e_meas_raw"
-    inc_keys = sorted(k for k in tree if k.startswith("pred_inc_wt_"))
+    # numeric sort: lexicographic would pair pred_inc_wt_10 before _2 and
+    # misalign the columns against e_part_{i} truth order at >=10 particles
+    inc_keys = sorted(
+        (k for k in tree if k.startswith("pred_inc_wt_")),
+        key=lambda k: int(k.rsplit("_", 1)[1]),
+    )
     out["n_incidence_branches"] = len(inc_keys)
     if inc_keys and globlib.glob(sr_test_glob):
         srf = sorted(globlib.glob(sr_test_glob))[0]

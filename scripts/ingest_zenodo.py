@@ -72,13 +72,26 @@ def discover(data_dir: str) -> dict:
 
 
 def validate(path: str, dataset: str) -> dict:
-    """Schema + physics sanity checks on one split file; returns a report."""
-    report = {"path": path, "ok": True, "checks": {}}
+    """Schema + physics sanity checks on one split file; returns a report.
+
+    Never raises: a malformed file (missing tree/branch, unreadable blob)
+    is exactly what this classifier exists to report, so any exception from
+    the checks becomes a failed ``readable`` check instead of aborting the
+    whole ingest run."""
+    report = {"path": path, "ok": True, "checks": {}, "n_entries": 0}
 
     def check(name, cond, detail=""):
         report["checks"][name] = {"ok": bool(cond), "detail": str(detail)}
         report["ok"] = report["ok"] and bool(cond)
 
+    try:
+        _validate_checks(path, dataset, report, check)
+    except Exception as e:
+        check("readable", False, f"{type(e).__name__}: {e}")
+    return report
+
+
+def _validate_checks(path: str, dataset: str, report: dict, check) -> None:
     n_low = root_io.num_entries(path, "Low_Tree")
     n_high = root_io.num_entries(path, "High_Tree")
     check("entries_match", n_low == n_high, f"low={n_low} high={n_high}")
@@ -114,7 +127,6 @@ def validate(path: str, dataset: str) -> dict:
               "particle_to_node_idx" in inc and "particle_to_node_weight" in inc)
 
     report["n_entries"] = int(n_low)
-    return report
 
 
 def convert_h5(src: str, dst: str):

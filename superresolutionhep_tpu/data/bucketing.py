@@ -113,7 +113,10 @@ class BucketBatcher:
                         continue
                     bs = bucket.batch_size
                     if self.tail_shrink:
-                        while bs // 2 >= self.batch_multiple_of and bs // 2 >= len(chunk):
+                        # shrunk sizes must stay multiples of the data-mesh
+                        # size (halving 14 -> 7 would break even sharding)
+                        m = self.batch_multiple_of
+                        while bs // 2 >= len(chunk) and bs // 2 >= m and (bs // 2) % m == 0:
                             bs //= 2
                     chunk = np.concatenate(
                         [chunk, np.full(bs - len(chunk), -1, np.int64)]

@@ -22,7 +22,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-ALIGN = 128
+from ..ops.flash_packed import SEG_ALIGN as ALIGN
 
 
 def aligned_len(n: int, align: int = ALIGN) -> int:
@@ -49,6 +49,11 @@ def pack_events(
     """First-fit-decreasing packing of events into (rows_per_batch, S)
     batches.  Returns the layout; max_segment_len for the kernel is
     ``max(aligned event length)`` over the input."""
+    if align < ALIGN or align % ALIGN:
+        # the model derives its max-segments-per-row bound as S // SEG_ALIGN
+        # (models/flow_model.py); packing more finely would overflow it and
+        # zero the conditioning context of the excess segments
+        raise ValueError(f"align={align} must be a multiple of {ALIGN}")
     counts = np.asarray(cell_counts)
     if counts.size == 0:
         return []

@@ -87,6 +87,13 @@ def generate_events(n_events: int, seed: int = 0, config: GeneratorConfig | None
     ]}
     p2n_idx, p2n_wt = [], []
 
+    if cfg.collimate_delta_r_lr_cells > 0 and cfg.axis_eta is not None:
+        # the axis block would silently overwrite the collimated draw with
+        # independent uniform jitter — a different physics regime than asked
+        raise ValueError(
+            "collimate_delta_r_lr_cells and axis_eta are mutually exclusive "
+            "generator regimes (collimated disk vs localized-axis jitter)"
+        )
     for _ in range(n_events):
         n_part = 1 if cfg.single_electron else int(rng.integers(cfg.min_particles, cfg.max_particles + 1))
         if cfg.collimate_delta_r_lr_cells > 0 and not cfg.single_electron:

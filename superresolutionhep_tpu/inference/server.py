@@ -153,9 +153,10 @@ class SRServer:
                 "target": jnp.zeros((1, b, 1)),
             }
             batch = {k: full[k] for k in MODEL_BATCH_KEYS}
-            if self.inf.fast_softmax and not self.inf._nomax_validated:
-                self.inf.fast_softmax = self.inf._validate_nomax(batch)
-                self.inf._nomax_validated = True
+            # NOTE: warmup only compiles — the no-max saturation gate must
+            # run on REAL shower data (an all-zeros dummy has trivially
+            # in-bound logits and would rubber-stamp the fast kernel), so
+            # _nomax_validated is left unset for the first real request
             t0 = time.time()
             out = self.inf._jitted(
                 batch, jax.random.PRNGKey(0), n_ensemble=self.n_ensemble,

@@ -19,6 +19,7 @@ Energies are written in MeV (x1e3) like the reference (:190-201).
 from __future__ import annotations
 
 import os
+import sys
 from pathlib import Path
 from typing import Dict, List
 
@@ -195,21 +196,44 @@ class SRInference:
         # ONE compiled shape for the whole run, 128-cell alignment padding,
         # banded attention (ops/flash_packed.py, data/packing.py)
         packed = bool(inf_dict.get("packed", self.inf_cfg["model"].get("packed", False)))
+        oversize_idx = np.empty(0, np.int64)
         if packed:
-            from ..data.packing import collate_packed, pack_events
+            from ..data.packing import aligned_len, collate_packed, pack_events
             from ..ops.flash_packed import set_packed_defaults
 
             pack_s = int(inf_dict.get("pack_s", self.inf_cfg["model"].get("pack_s", 5120)))
             pack_rows = int(inf_dict.get("pack_rows", self.inf_cfg["model"].get("pack_rows", 8)))
-            max_ev = int(max(ds.cell_count_high))
-            set_packed_defaults(max_segment_len=-(-max_ev // 128) * 128)
+            counts = np.asarray(ds.cell_count_high, np.int64)
+            # events too long for a packed row fall through to the bucketed
+            # path below (the packing.py contract) instead of aborting the run
+            fits = np.array([aligned_len(int(n)) <= pack_s for n in counts])
+            oversize_idx = np.nonzero(~fits)[0]
+            sub = np.nonzero(fits)[0]
+            if oversize_idx.size:
+                print(
+                    f"[packed] {oversize_idx.size} event(s) exceed pack_s={pack_s}"
+                    " after alignment; routing them through the bucketed path",
+                    file=sys.stderr,
+                )
 
-            class _Cache:
+            class _SubsetCache:
+                """Layout indices -> dataset events, fetched once per batch
+                (collate_packed and the unpack loop share the fetch)."""
+
+                def __init__(self):
+                    self._c = {}
+
                 def __getitem__(self, i):
-                    return ds.get_event(i)
+                    gi = int(sub[i])
+                    if gi not in self._c:
+                        self._c[gi] = ds.get_event(gi)
+                    return self._c[gi]
 
-            for bi, lay in enumerate(pack_events(ds.cell_count_high, S=pack_s, rows_per_batch=pack_rows)):
-                hb = collate_packed(_Cache(), lay, S=pack_s)
+            if sub.size:
+                set_packed_defaults(max_segment_len=aligned_len(int(counts[sub].max())))
+            for bi, lay in enumerate(pack_events(counts[sub], S=pack_s, rows_per_batch=pack_rows)):
+                cache = _SubsetCache()
+                hb = collate_packed(cache, lay, S=pack_s)
                 batch = {k: jnp.asarray(v) for k, v in hb.items()}
                 if self.fast_softmax and not self._nomax_validated:
                     self.fast_softmax = self._validate_nomax(batch)
@@ -222,7 +246,7 @@ class SRInference:
                 )  # (E, T, B, S, 1)
                 for row_i, row in enumerate(lay.rows):
                     for ev_idx, off, n in sorted(row, key=lambda t: t[1]):
-                        ev = ds.get_event(ev_idx)
+                        ev = cache[ev_idx]
                         self._fill_event(
                             ev, traj[:, :, row_i, off : off + n, 0], low_z, high_z, part_z,
                             n_ensemble=n_ensemble, store_comp=store_comp,
@@ -230,10 +254,24 @@ class SRInference:
                         )
                         positions.append(ev.idx)
 
-        batcher = (
-            []
-            if packed
-            else BucketBatcher(
+        if packed and oversize_idx.size:
+            # bucketed mop-up of the oversize remainder: batch over their
+            # lengths, translating batcher-local indices back to dataset ones
+            _bb = BucketBatcher(
+                np.asarray(ds.cell_count_high)[oversize_idx],
+                quantum=int(self.config_t.get("bucket_quantum", 128)),
+                max_batch_size=int(inf_dict.get("batch_size", 32)),
+                shuffle=False,
+                tail_shrink=bool(inf_dict.get("tail_shrink", True)),
+            )
+            batcher = (
+                (np.where(ii >= 0, oversize_idx[np.clip(ii, 0, None)], -1), bucket)
+                for ii, bucket in _bb
+            )
+        elif packed:
+            batcher = []
+        else:
+            batcher = BucketBatcher(
                 ds.cell_count_high,
                 quantum=int(self.config_t.get("bucket_quantum", 128)),
                 max_batch_size=int(inf_dict.get("batch_size", 32)),
@@ -243,7 +281,6 @@ class SRInference:
                 # persistent cache
                 tail_shrink=bool(inf_dict.get("tail_shrink", True)),
             )
-        )
         for bi, (idxs, bucket) in enumerate(batcher):
             events = [ds.get_event(i) if i >= 0 else None for i in idxs]
             hb = collate(events, bucket.pad_n, with_low=True, pad_n_low=bucket.pad_n)

@@ -105,8 +105,10 @@ class FlowModel(nn.Module):
         seg = batch.get("seg")
         seg_onehot = None
         if seg is not None:
+            from ..ops.flash_packed import SEG_ALIGN
+
             seg = seg.astype(jnp.int32)
-            n_seg = seg.shape[1] // 128  # packer aligns events to 128 cells
+            n_seg = seg.shape[1] // SEG_ALIGN  # packer aligns events to this
             seg_onehot = segment_onehot(seg, n_seg, cond_feat.dtype)  # (B,S,E)
             cond_seg = segment_mean(cond_feat, seg_onehot)  # (B, E, C)
         else:

@@ -41,18 +41,32 @@ from jax.experimental.pallas import tpu as pltpu
 from .flash_attention import BIG, CLIP_HI, CLIP_LO, LOG2E, NEG_INF, _interpret
 
 PAD_SEG = -1  # segment id of padding cells
+# event-start alignment inside a packed row (the flash/MXU lane block).
+# Single source of truth: data/packing.py aligns events to it at pack time
+# and models/flow_model.py derives the max-segments-per-row bound (S //
+# SEG_ALIGN) from it — a packer aligning more finely would silently break
+# the model's one-hot segment scatter.
+SEG_ALIGN = 128
 
 # process-wide packed-kernel tuning; inference entry points override at
 # startup (set_packed_defaults) so model code needs no extra plumbing
 PACKED_DEFAULTS = {"block_q": 512, "block_k": 512, "max_segment_len": None}
 
 
-def set_packed_defaults(block_q: int = None, block_k: int = None, max_segment_len: int = None):
+_UNSET = object()
+
+
+def set_packed_defaults(block_q: int = None, block_k: int = None, max_segment_len=_UNSET):
+    """Update only the provided knobs.  Pass ``max_segment_len=None``
+    explicitly to clear the band bound (falls back to a full-sequence
+    band); omitting it leaves the current bound untouched — a block-size
+    tune must not silently discard the banded-DMA saving."""
     if block_q is not None:
         PACKED_DEFAULTS["block_q"] = int(block_q)
     if block_k is not None:
         PACKED_DEFAULTS["block_k"] = int(block_k)
-    PACKED_DEFAULTS["max_segment_len"] = max_segment_len
+    if max_segment_len is not _UNSET:
+        PACKED_DEFAULTS["max_segment_len"] = max_segment_len
 
 
 def packed_shapes_ok(S: int, d: int) -> bool:

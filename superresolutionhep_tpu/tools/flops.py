@@ -112,7 +112,9 @@ def flow_model_flops_packed(
 
     p = params.get("params", params)
     B, S = seg.shape
-    E = S // 128  # segment slots per row (models/flow_model.py packed path)
+    from ..ops.flash_packed import SEG_ALIGN
+
+    E = S // SEG_ALIGN  # segment slots per row (flow_model.py packed path)
 
     per_cell = 0.0
     per_seg = 0.0  # adaLN modulation nets: once per segment slot

@@ -71,3 +71,38 @@ def test_packed_inference_matches_bucketed(setup):
             ai, bi = np.asarray(a[i]), np.asarray(b[i])
             assert ai.shape == bi.shape
             assert np.isfinite(ai).all()
+
+
+def test_packed_oversize_events_route_to_bucketed(setup):
+    """Events whose aligned length exceeds pack_s must fall through to the
+    bucketed path (the data/packing.py contract) instead of aborting the
+    run — the output file still contains every event with exact
+    pass-through branches."""
+    d, truth, base_cfg, params = setup
+    counts = [len(np.asarray(e)) for e in root_io.read_tree(truth, "High_Tree", ["cell_e"])["cell_e"]]
+    aligned = sorted(-(-c // 128) * 128 for c in counts)
+    # a pack_s that fits the smallest events but not the largest ones
+    # (fixture aligned sizes: [256, 256, 384, 512, 512, 512])
+    pack_s = aligned[0]
+    assert aligned[-1] > pack_s, "fixture must contain an oversize event"
+
+    inf = SRInference(
+        {"model": dict(base_cfg, packed=True, pack_s=pack_s, pack_rows=2)}, params=params
+    )
+    pred = str(d / "pred_mixed.h5")
+    inf.run_pred({
+        "truth_path": truth, "pred_path": pred, "n_ensemble": 2,
+        "batch_size": 4, "ode_method": "midpoint",
+    })
+    # bucketed reference: the pass-through branches (post-ECAL-cut) must
+    # agree exactly event-for-event regardless of which path carried them
+    ref_pred = _run(d, truth, base_cfg, params, False, "pred_bucketed_mixed_ref")
+    ref = root_io.read_tree(ref_pred, "High_Tree", ["e_truth_raw"])["e_truth_raw"]
+    got = root_io.read_tree(pred, "High_Tree", ["e_truth_raw", "e_pred_raw"])
+    assert len(got["e_truth_raw"]) == len(ref) == 6
+    for i in range(len(ref)):
+        np.testing.assert_array_equal(
+            np.asarray(got["e_truth_raw"][i]), np.asarray(ref[i]),
+            err_msg=f"event {i} misrouted or misordered",
+        )
+        assert np.isfinite(np.asarray(got["e_pred_raw"][i])).all()

@@ -136,6 +136,18 @@ def test_bucket_batcher_tail_shrink():
     assert sorted(seen) == list(range(67))
     assert len(bb) == sum(1 for _ in bb)
 
+    # non-power-of-two bucket batch size (14 at pad 384 under this budget):
+    # halving must STOP at a non-multiple (14 -> 7 would break 2-device
+    # sharding) rather than emit an odd batch
+    counts3 = np.full(3, 300)  # one tail batch of 3 events in a bs=14 bucket
+    bb3 = BucketBatcher(
+        counts3, quantum=128, cost_budget=384 * 384 * 14, max_batch_size=14,
+        shuffle=False, tail_shrink=True, batch_multiple_of=2,
+    )
+    (idxs3, b3), = list(bb3)
+    assert b3.batch_size % 2 == 0
+    assert (idxs3 >= 0).sum() == 3
+
 
 def test_collate_edge_mask_all2all_and_predefined():
     from superresolutionhep_tpu.data.sr_dataset import SupResEvent, collate
@@ -154,3 +166,20 @@ def test_collate_edge_mask_all2all_and_predefined():
     expect = np.zeros((8, 8), bool)
     expect[[0, 1, 2], [1, 2, 0]] = True
     np.testing.assert_array_equal(em[1], expect)
+
+
+def test_generator_conflicting_regimes_rejected(tmp_path):
+    """collimate + localized-axis are mutually exclusive generator regimes:
+    composing them silently replaced the collimated draw with independent
+    jitter, so the generator must reject the combination."""
+    import pytest as _pytest
+
+    from superresolutionhep_tpu.data.synthetic import GeneratorConfig, write_synthetic_file
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        write_synthetic_file(
+            str(tmp_path / "x.h5"), n_events=1, seed=0,
+            config=GeneratorConfig(
+                max_particles=3, collimate_delta_r_lr_cells=1.5, axis_eta=0.35
+            ),
+        )
