@@ -258,6 +258,45 @@ class SRTrainer:
                 events = [train_ds.get_event(i) if i >= 0 else None for i in idxs]
             return collate(events, bucket.pad_n)
 
+        # packed training (`packed: true`): events packed into rows of one
+        # static length — ONE compiled train step for any event-length mix,
+        # padding only to the 128-cell alignment, banded attention with the
+        # differentiable kernel (ops/flash_packed.py custom VJP).  The layout
+        # is packed once (first-fit decreasing is deterministic); per-epoch
+        # shuffling permutes the batch order.  Validation stays bucketed
+        # (the generative val path is sampler-driven and cheap).
+        packed = bool(ct.get("packed", False))
+        pack_layouts = None
+        if packed:
+            from ..data.packing import aligned_len, collate_packed, pack_events
+            from ..ops.flash_packed import set_packed_defaults
+
+            pack_s = int(ct.get("pack_s", 5120))
+            pack_rows = int(ct.get("pack_rows", 8))
+            ndev = len(self.mesh.devices.flat)
+            if pack_rows % ndev:
+                raise ValueError(
+                    f"pack_rows={pack_rows} must be a multiple of the mesh size {ndev}"
+                )
+            counts = np.asarray(train_ds.cell_count_high)
+            n_over = int(sum(aligned_len(int(c)) > pack_s for c in counts))
+            if n_over:
+                raise ValueError(
+                    f"{n_over} events exceed pack_s={pack_s} after 128-cell "
+                    "alignment; raise pack_s (training has no bucketed mop-up)"
+                )
+            set_packed_defaults(max_segment_len=aligned_len(int(counts.max())))
+            pack_layouts = pack_events(counts, S=pack_s, rows_per_batch=pack_rows)
+
+            class _EvCache:
+                def __getitem__(self, i):
+                    if cache_events:
+                        return train_cache.setdefault(i, train_ds.get_event(i))
+                    return train_ds.get_event(i)
+
+            def prepare_packed(lay):
+                return collate_packed(_EvCache(), lay, S=pack_s)
+
         from ..data.prefetch import BatchPrefetcher
 
         # --profile: trace exactly one epoch (SURVEY §5 profiling hook)
@@ -274,9 +313,15 @@ class SRTrainer:
                 except Exception as e:  # backend without trace support
                     self.metrics.log_scalars({"profile_unavailable": 1.0}, step=epoch)
                     profile_epoch = None
-            batches = BatchPrefetcher(
-                self._batcher(train_ds, "train", seed=epoch), prepare, num_workers=num_workers
-            )
+            if packed:
+                order = np.random.default_rng(epoch).permutation(len(pack_layouts))
+                batches = BatchPrefetcher(
+                    [pack_layouts[i] for i in order], prepare_packed, num_workers=num_workers
+                )
+            else:
+                batches = BatchPrefetcher(
+                    self._batcher(train_ds, "train", seed=epoch), prepare, num_workers=num_workers
+                )
             for hb in batches:
                 batch = self._device_batch(hb)
                 self.rng, step_rng = jax.random.split(self.rng)
