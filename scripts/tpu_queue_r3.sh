@@ -34,7 +34,7 @@ leg() {
 }
 
 pending() {
-  for n in bench_packed bench_bucketed packed_sweep serving vanilla_fast vanilla vanilla_sigma; do
+  for n in bench_packed bench_bucketed packed_sweep serving packed_train vanilla_fast vanilla vanilla_sigma; do
     [ -e "runs/tpu_queue/${n}.done" ] || return 0
   done
   return 1
@@ -53,9 +53,11 @@ for pass in 1 2 3 4 5 6 7 8; do
   leg bench_packed   7200 env BENCH_PACKED=1 BENCH_PACK_S=6144 BENCH_PACK_ROWS=10 python bench.py
   leg bench_bucketed 7200 env BENCH_PACKED=0 python bench.py
 
-  # 2. kernel-level packed block sweep + serving latency table
+  # 2. kernel-level packed block sweep + serving latency table + packed
+  #    TRAINING throughput (bucketed vs one-shape packed, custom-VJP kernel)
   leg packed_sweep   7200 python scripts/bench_packed_kernel.py --S 6144 --rows 10
   leg serving        7200 python scripts/measure_serving_latency.py
+  leg packed_train   7200 python scripts/bench_packed_train.py
 
   # 3a. cheap insurance leg (~20 min chip): the localized-regime evidence run
   #     (runs/closure_vanilla_local, 16384 ev, lr 1e-3) hit train loss 0.06 by
