@@ -31,7 +31,34 @@ MEASURED_CHIP_TFS = 96.9  # large-matmul bf16 rate measured on this chip with
                           # delivers half
 
 
+def _wait_for_tpu(max_wait_s, probe_timeout_s=300):
+    """Bounded wait for the axon tunnel: probe in a subprocess (an in-process
+    backend-init failure is cached by jax for the life of the process, so the
+    probe must be external). Proceeds after the deadline either way — if the
+    chip never comes back the real error surfaces downstream."""
+    import subprocess
+
+    deadline = time.time() + max_wait_s
+    probe = "import jax; raise SystemExit(0 if jax.devices()[0].platform != 'cpu' else 1)"
+    while True:
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], timeout=probe_timeout_s,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        if time.time() >= deadline:
+            print(f"[bench] TPU still unavailable after {max_wait_s:.0f}s wait; proceeding", file=sys.stderr)
+            return False
+        print("[bench] TPU unavailable; retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+
+
 def main():
+    _wait_for_tpu(float(os.environ.get("BENCH_TPU_WAIT_S", "900")))
     import jax
 
     # persistent compile cache: the axon remote-compile path is slow; cache

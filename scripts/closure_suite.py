@@ -266,7 +266,17 @@ def main():
         "smoother subcell ratio field — the regime where the reference's "
         "raw-coordinate etaphi MLP has enough spectral capacity (VERDICT r2 #4)",
     )
+    ap.add_argument(
+        "--device", default=None,
+        help="force a jax platform (e.g. 'cpu' to run the whole suite "
+        "off-TPU; the axon plugin ignores JAX_PLATFORMS so this must be a "
+        "config update before backend init)",
+    )
     args = ap.parse_args()
+    if args.device:
+        import jax
+
+        jax.config.update("jax_platforms", args.device)
 
     os.makedirs(args.outdir, exist_ok=True)
     gen = GEN_MULTI if args.multipart else GEN
