@@ -104,10 +104,15 @@ def main():
     # `fast_softmax` path (validated per checkpoint by nomax_selfcheck in
     # inference/sr.py; here by the robust-vs-fast first-batch compare below).
     fast = os.environ.get("BENCH_FAST", "1") != "0"
+    # BENCH_FUSED=1 (default with fast): fuse norm1 + adaLN + QKV per DiT
+    # layer into one Pallas pass (ops/fused_qkv.py) — validated against the
+    # fully-unfused robust model by the same first-batch compare
+    fused = fast and os.environ.get("BENCH_FUSED", "1") != "0"
     model = FlowModel(
         config=config_mv["flow_model"],
         dtype=jnp.bfloat16,
         attn_impl="flash_nomax" if fast else "auto",
+        fused_prologue=fused,
     )
 
     # init params once on a small shape

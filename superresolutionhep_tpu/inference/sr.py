@@ -54,9 +54,16 @@ class SRInference:
         # faster attention); validated against the robust kernel on the first
         # batch of every run (nomax_selfcheck) before it is trusted
         self.fast_softmax = bool(inf_cfg["model"].get("fast_softmax", False))
+        # the fast model also fuses the DiT attention prologue (norm1 + adaLN
+        # + QKV in one Pallas pass, ops/fused_qkv.py); the robust model stays
+        # fully unfused, so the first-batch selfcheck validates the fused
+        # kernel together with the no-max softmax against the reference path
         self.model_fast = (
             FlowModel(
-                config=self.config_mv["flow_model"], dtype=self.dtype, attn_impl="flash_nomax"
+                config=self.config_mv["flow_model"],
+                dtype=self.dtype,
+                attn_impl="flash_nomax",
+                fused_prologue=bool(inf_cfg["model"].get("fused_prologue", True)),
             )
             if self.fast_softmax
             else None

@@ -85,6 +85,7 @@ class MultiheadAttention(nn.Module):
         attn_valid=None,
         attn_bias=None,
         segment_ids=None,
+        fused_ln=None,
         deterministic: bool = True,
     ):
         """q/k/v: (B, L, F). Masks are True==valid. Returns (B, Lq, q_dim or
@@ -93,7 +94,18 @@ class MultiheadAttention(nn.Module):
         ``segment_ids`` (B, L) int32 (-1 = pad): segment-packed self-
         attention — cells attend only within their own event.  Dispatches
         to the banded Pallas kernel (ops/flash_packed.py) on TPU-friendly
-        shapes, else to the einsum path with a segment-equality mask."""
+        shapes, else to the einsum path with a segment-equality mask.
+
+        ``fused_ln`` (eff_a, eff_b): self-attention prologue fusion — ``q``
+        arrives RAW (pre-norm) and the LayerNorm + adaLN modulate + QKV
+        projections run as one Pallas pass (ops/fused_qkv.py) emitting the
+        flash kernel's transposed layout directly.  eff_a/eff_b are the
+        folded affine coefficients (B, F).  Caller guarantees self-attention
+        with padding masks only."""
+        if fused_ln is not None:
+            if edges is not None or attn_bias is not None or attn_valid is not None:
+                raise ValueError("fused_ln supports padding-masked self-attention only")
+            return self._fused_self_attention(q, q_valid, fused_ln)
         if k is None:
             k = q
             if kv_valid is None:
@@ -203,4 +215,66 @@ class MultiheadAttention(nn.Module):
             if self.update_edges:
                 edge_out = self.linear_e_out(jnp.transpose(scores, (0, 2, 3, 1)))
             return out, edge_out
+        return out
+
+    def _fused_self_attention(self, x, valid, fused_ln):
+        """Fused-prologue self-attention: LN + modulate + QKV in one Pallas
+        pass (ops/fused_qkv.py) straight into the transposed flash kernel.
+        Falls back to an equivalent unfused formulation when the shape gates
+        fail, so the caller never needs a second code path."""
+        from ..ops.flash_attention import (
+            LOG2E,
+            flash_shapes_ok,
+            masked_flash_attention,
+            masked_flash_attention_T,
+        )
+        from ..ops.fused_qkv import LN_EPS, fused_ln_mod_proj, fused_qkv_ok
+
+        eff_a, eff_b = fused_ln
+        B, L, F = x.shape
+        H, HD = self.num_heads, self.embed_dim // self.num_heads
+        scale = 1.0 / math.sqrt(HD)
+        softmax = "nomax_clip" if self.impl == "flash_nomax" else "max"
+        dt = self.dtype or x.dtype
+
+        fuse_ok = (
+            not self.is_initializing()
+            and self.impl != "xla"
+            and fused_qkv_ok(L, F)
+            and flash_shapes_ok(L, L, HD)
+            and (self.impl in ("flash", "flash_nomax") or jax.default_backend() == "tpu")
+        )
+        if fuse_ok:
+            pq = self.linear_q.variables["params"]
+            pk = self.linear_k.variables["params"]
+            pv = self.linear_v.variables["params"]
+            c = jnp.asarray(scale * LOG2E, pq["kernel"].dtype)
+            w = jnp.concatenate(
+                [pq["kernel"] * c, pk["kernel"], pv["kernel"]], axis=1
+            ).astype(dt)  # (F, 3F), flash pre-scale folded into the Q columns
+            bias = jnp.concatenate([pq["bias"] * c, pk["bias"], pv["bias"]])[:, None]
+            qkvT = fused_ln_mod_proj(x.astype(dt), eff_a, eff_b, w, bias)
+            qkvT = qkvT.reshape(B, 3, H, HD, L)
+            outT = masked_flash_attention_T(
+                qkvT[:, 0], qkvT[:, 1], qkvT[:, 2], valid, valid, softmax=softmax
+            )
+            out = jnp.transpose(outT, (0, 3, 1, 2)).reshape(B, L, self.embed_dim)
+        else:
+            # unfused equivalent: parameter-free LN + folded affine, then the
+            # standard projection / attention path (also the init-time path,
+            # which creates the very params the fused branch reads)
+            xf = x.astype(jnp.float32)
+            mu = xf.mean(-1, keepdims=True)
+            xc = xf - mu
+            var = (xc * xc).mean(-1, keepdims=True)
+            xhat = xc * jax.lax.rsqrt(var + LN_EPS)
+            y = (xhat * eff_a[:, None, :] + eff_b[:, None, :]).astype(dt)
+            q_p = self.linear_q(y).reshape(B, L, H, HD)
+            k_p = self.linear_k(y).reshape(B, L, H, HD)
+            v_p = self.linear_v(y).reshape(B, L, H, HD)
+            out = masked_flash_attention(
+                q_p, k_p, v_p, valid, valid, scale=scale, softmax=softmax
+            ).reshape(B, L, self.embed_dim)
+        if self.out_proj:
+            out = self.linear_out(out)
         return out

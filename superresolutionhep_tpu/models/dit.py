@@ -42,6 +42,11 @@ class DiTLayer(nn.Module):
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
     sp_mode: str = "gather"
+    # fuse norm1 + adaLN modulate + QKV projection into one Pallas pass
+    # (ops/fused_qkv.py): saves the HBM round-trips between the elementwise
+    # prologue and the attention matmuls.  Self-attention + padding masks
+    # only; inference default (SRInference), opt-in for training.
+    fused_prologue: bool = False
 
     @nn.compact
     def __call__(
@@ -79,7 +84,30 @@ class DiTLayer(nn.Module):
             sp_mode=self.sp_mode,
             name="mha",
         )
-        if k is None:  # self-attention: modulate the tokens themselves
+        fuse = (
+            self.fused_prologue
+            and k is None
+            and segment_ids is None
+            and context_seg is None
+            and attn_valid is None
+            and attn_bias is None
+            and self.sp_axis is None
+            and not self.is_initializing()
+        )
+        if fuse:
+            # bind norm1 (cheap dummy slice; output is dead code) and fold
+            # its gamma/beta with the adaLN shift/scale into the two affine
+            # rows the fused kernel consumes — norm1 itself never runs over
+            # the full activation
+            _ = norm1(q[:, :1])
+            ln_p = norm1.variables["params"]
+            one_scale = 1.0 + scale_msa.astype(jnp.float32)  # (B, F)
+            eff_a = ln_p["scale"][None, :] * one_scale
+            eff_b = ln_p["bias"][None, :] * one_scale + shift_msa.astype(jnp.float32)
+            q_attn = mha(
+                q=q, q_valid=q_valid, fused_ln=(eff_a, eff_b), deterministic=deterministic
+            )
+        elif k is None:  # self-attention: modulate the tokens themselves
             q_attn = mha(
                 q=modulate(norm1(q), shift_msa, scale_msa),
                 q_valid=q_valid,
@@ -123,6 +151,7 @@ class DiTEncoder(nn.Module):
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
     sp_mode: str = "gather"
+    fused_prologue: bool = False
     # rematerialise each layer in the backward pass (jax.checkpoint): trades
     # FLOPs for HBM, the standard lever for long-cell-set training
     remat: bool = False
@@ -139,6 +168,7 @@ class DiTEncoder(nn.Module):
                 attn_impl=self.attn_impl,
                 sp_axis=self.sp_axis,
                 sp_mode=self.sp_mode,
+                fused_prologue=self.fused_prologue,
                 name=f"layers_{i}",
             )(q, **kwargs)
         q = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(q)

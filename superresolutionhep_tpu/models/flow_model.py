@@ -36,6 +36,9 @@ class FlowModel(nn.Module):
     sp_axis: str = None
     sp_mode: str = "gather"
     remat: bool = False
+    # fuse norm1 + adaLN + QKV per DiT layer (ops/fused_qkv.py); enabled by
+    # the inference drivers, off for training/parity paths
+    fused_prologue: bool = False
 
     @nn.compact
     def __call__(self, batch, noisy_input, time_step, deterministic: bool = True):
@@ -151,6 +154,7 @@ class FlowModel(nn.Module):
                 attn_impl=self.attn_impl,
                 sp_axis=self.sp_axis,
                 sp_mode=self.sp_mode,
+                fused_prologue=self.fused_prologue,
                 remat=self.remat,
                 name="transformer",
             )(

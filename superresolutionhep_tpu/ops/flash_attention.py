@@ -601,6 +601,28 @@ def masked_flash_attention(q, k, v, q_valid, kv_valid, scale: float, softmax: st
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
+def masked_flash_attention_T(qT_pre, kT, vT, q_valid, kv_valid, softmax: str = "max"):
+    """Transposed-layout entry: qT_pre/kT/vT (B, H, D, L) with the softmax
+    scale and base-2 conversion ALREADY folded into qT_pre (the fused
+    LN+modulate+QKV prologue emits exactly this layout, ops/fused_qkv.py).
+    Returns outT (B, H, D, Lq).  Caller must have checked flash_shapes_ok."""
+    B, H, D, Lq = qT_pre.shape
+    Lk = kT.shape[3]
+    qm = (
+        jnp.ones((B, 1, Lq), jnp.float32)
+        if q_valid is None
+        else q_valid.astype(jnp.float32)[:, None, :]
+    )
+    km = (
+        jnp.ones((B, 1, Lk), jnp.float32)
+        if kv_valid is None
+        else kv_valid.astype(jnp.float32)[:, None, :]
+    )
+    if softmax == "nomax_clip":
+        return _flash_fwd_nomax(qT_pre, kT, vT, qm, km)
+    return _flash_attention(qT_pre, kT, vT, qm, km)
+
+
 def nomax_selfcheck(apply_robust, apply_nomax, batch, atol: float = 6e-2) -> bool:
     """Per-checkpoint validation gate for the no-max inference kernel: run the
     same forward through the robust and the clipped no-max attention and
