@@ -34,7 +34,7 @@ leg() {
 }
 
 pending() {
-  for n in bench_packed bench_bucketed packed_sweep serving packed_train vanilla_fast vanilla vanilla_sigma; do
+  for n in bench_packed bench_bucketed bench_nofuse packed_sweep serving packed_train vanilla_fast vanilla vanilla_sigma; do
     [ -e "runs/tpu_queue/${n}.done" ] || return 0
   done
   return 1
@@ -52,6 +52,10 @@ for pass in 1 2 3 4 5 6 7 8; do
   # distribution with tools in scripts/bench_packed_kernel.py)
   leg bench_packed   7200 env BENCH_PACKED=1 BENCH_PACK_S=6144 BENCH_PACK_ROWS=10 python bench.py
   leg bench_bucketed 7200 env BENCH_PACKED=0 python bench.py
+  # fused-prologue ablation: BENCH_FUSED defaults to 1 since the fused
+  # LN+adaLN+QKV kernel landed, so bench_bucketed above measures WITH the
+  # fusion; this leg re-measures the r3 baseline config without it
+  leg bench_nofuse   7200 env BENCH_PACKED=0 BENCH_FUSED=0 python bench.py
 
   # 2. kernel-level packed block sweep + serving latency table + packed
   #    TRAINING throughput (bucketed vs one-shape packed, custom-VJP kernel)
