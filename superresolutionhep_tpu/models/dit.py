@@ -126,12 +126,47 @@ class DiTLayer(nn.Module):
                 attn_bias=attn_bias,
                 deterministic=deterministic,
             )
+        mlp_cfg = (
+            dict(self.dense_config, output_size=self.embed_dim)
+            if self.dense_config is not None
+            else None
+        )
+        if fuse and mlp_cfg is not None:
+            from ..ops.fused_mlp import fused_dit_mlp, fused_mlp_ok, mlp_config_fusable
+
+            Fh = (mlp_cfg.get("hidden_layers") or [0])[0]
+            if mlp_config_fusable(mlp_cfg) and fused_mlp_ok(q.shape[1], self.embed_dim, Fh):
+                # both residuals, norm2+modulate, Dense's internal LN and
+                # the two MLP matmuls run as ONE Pallas pass per block
+                # (ops/fused_mlp.py); params come from the same norm2/dense
+                # modules the standard path uses (dummy-slice bind)
+                dense = Dense.from_config(mlp_cfg, dtype=self.dtype, name="dense")
+                norm2 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")
+                _ = norm2(q[:, :1])
+                _ = dense(q[:, :1], context=context, deterministic=deterministic)
+                n2 = norm2.variables["params"]
+                dp = dense.variables["params"]
+                one_mlp = 1.0 + scale_mlp.astype(jnp.float32)
+                eff2_a = n2["scale"][None, :] * one_mlp
+                eff2_b = n2["bias"][None, :] * one_mlp + shift_mlp.astype(jnp.float32)
+                dt = self.dtype or q.dtype
+                return fused_dit_mlp(
+                    q,
+                    q_attn,
+                    gate_msa.astype(jnp.float32),
+                    eff2_a,
+                    eff2_b,
+                    gate_mlp.astype(jnp.float32),
+                    dp["linear_0"]["kernel"].astype(dt),
+                    dp["linear_0"]["bias"],
+                    dp["linear_1"]["kernel"].astype(dt),
+                    dp["linear_1"]["bias"],
+                )
+
         q = q + _gate(gate_msa, q_attn)
 
-        if self.dense_config is not None:
-            dense = Dense.from_config(
-                dict(self.dense_config, output_size=self.embed_dim), dtype=self.dtype, name="dense"
-            )
+        if mlp_cfg is not None:
+            dense = Dense.from_config(mlp_cfg, dtype=self.dtype, name="dense")
             q_mlp = dense(
                 modulate(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(q), shift_mlp, scale_mlp),
                 context=context,
