@@ -466,7 +466,15 @@ def _pf_bench(jax, jnp, np, repo, B=64, N=2048):
         "part_dep_e": z(B, P), "part_mask": jnp.ones((B, P), bool),
         "incidence_matrix": jnp.abs(z(B, N, P)),
     }
-    model = SAPF(config_pf=cfg["pf_model"], transforms=build_var_transforms(cfg["var_transform"]), inference=True)
+    # fused_prologue mirrors the PFInference default; at the reference
+    # h_dim=64 the fused_qkv gate (F%128) falls back to the equivalent
+    # unfused formulation, so this is parity-neutral for this config
+    model = SAPF(
+        config_pf=cfg["pf_model"],
+        transforms=build_var_transforms(cfg["var_transform"]),
+        inference=True,
+        fused_prologue=os.environ.get("BENCH_FUSED", "1") != "0",
+    )
     variables = model.init(jax.random.PRNGKey(0), batch)
 
     @jax.jit

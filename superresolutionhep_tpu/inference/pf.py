@@ -37,8 +37,14 @@ class PFInference:
         pf_cfg = self.config_mv["pf_model"]
         self.max_part = int(pf_cfg["max_particles"])
         self.transforms = build_var_transforms(self.config_mv["var_transform"])
+        # fused DiT layer kernels in the cell encoder (ops/fused_{qkv,mlp}.py):
+        # parity-tested against the unfused path (tests/test_fused_*.py);
+        # opt-out via `fused_prologue: false` in the inference YAML
         self.model = SAPF(
-            config_pf=pf_cfg, transforms=self.transforms, inference=True
+            config_pf=pf_cfg,
+            transforms=self.transforms,
+            inference=True,
+            fused_prologue=bool(inf_cfg["model"].get("fused_prologue", True)),
         )
         if params is None:
             ckpt = load_params(inf_cfg["model"]["checkpoint_path"])

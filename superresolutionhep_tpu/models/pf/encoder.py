@@ -25,6 +25,8 @@ class PFEncoder(nn.Module):
     attn_impl: str = "auto"
     sp_axis: str = None
     sp_mode: str = "gather"
+    # fused DiT layer kernels (ops/fused_{qkv,mlp}.py); inference opt-in
+    fused_prologue: bool = False
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True):
@@ -68,6 +70,7 @@ class PFEncoder(nn.Module):
             attn_impl=self.attn_impl,
             sp_axis=self.sp_axis,
             sp_mode=self.sp_mode,
+            fused_prologue=self.fused_prologue,
             name="transformer",
         )(x, q_valid=cell_mask, context=global_feat, deterministic=deterministic)
         return feat

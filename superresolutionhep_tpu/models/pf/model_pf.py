@@ -27,13 +27,16 @@ class SAPF(nn.Module):
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
     sp_mode: str = "gather"
+    # fused DiT layer kernels in the cell encoder (ops/fused_{qkv,mlp}.py)
+    fused_prologue: bool = False
 
     @nn.compact
     def __call__(self, batch, deterministic: bool = True, rng=None):
         cfg = self.config_pf
         encoded = PFEncoder(
             cfg, dtype=self.dtype, attn_impl=self.attn_impl,
-            sp_axis=self.sp_axis, sp_mode=self.sp_mode, name="encoder",
+            sp_axis=self.sp_axis, sp_mode=self.sp_mode,
+            fused_prologue=self.fused_prologue, name="encoder",
         )(batch, deterministic=deterministic)
 
         n_pred_logits = None

@@ -163,6 +163,28 @@ def test_sapf_forward_and_cardinality_gating(sr_pred_files):
     assert kin2.shape == (4, 4, 4)
 
 
+def test_sapf_fused_prologue_parity(sr_pred_files):
+    """SAPF(fused_prologue=True) — the PFInference default — must match the
+    unfused model on identical params (kernel parity lives in
+    tests/test_fused_{qkv,mlp}.py; this pins the PF-stack plumbing)."""
+    glob_arg, _ = sr_pred_files
+    cfg = pf_config_mv()
+    ds = PflowEvents(glob_arg, cfg, energy_threshold=1.0, res="low", load_incidence=True)
+    events = [ds.get_event(i) for i in range(4)]
+    batch_np = collate_pf(events, pad_n=128, max_part=4)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items() if k != "idx"}
+    transforms = build_var_transforms(cfg["var_transform"])
+
+    kw = dict(config_pf=cfg["pf_model"], transforms=transforms, inference=True, attn_impl="flash")
+    model = SAPF(**kw)
+    model_f = SAPF(**kw, fused_prologue=True)
+    variables = model.init(jax.random.PRNGKey(0), batch)
+    out = model.apply(variables, batch)
+    out_f = model_f.apply(variables, batch)
+    for a, b in zip(out, out_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2, atol=2e-3)
+
+
 def test_pf_training_epoch(sr_pred_files, tmp_path):
     glob_arg, _ = sr_pred_files
     cfg_mv = pf_config_mv()
