@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--n-events", type=int, default=256, help="use the first N bench events")
     ap.add_argument("--data", default=None, help="override the event file (smoke tests)")
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    ap.add_argument(
+        "--fused", action="store_true",
+        help="train with the fused DiT layer kernels (ref-recompute VJP); "
+        "composes with the packed leg via per-cell modulation rows",
+    )
     args = ap.parse_args()
 
     import jax
@@ -72,7 +77,10 @@ def main():
 
     import tempfile
 
-    cfg_t = {"num_epochs": 1, "learningrate": 1e-3, "lr_scheduler": None, "remat": True}
+    cfg_t = {
+        "num_epochs": 1, "learningrate": 1e-3, "lr_scheduler": None, "remat": True,
+        "fused_prologue": bool(args.fused),
+    }
     with tempfile.TemporaryDirectory() as td:
         trainer = SRTrainer(config_mv, cfg_t, run_dir=td, dtype=jnp.bfloat16)
         lr = jnp.asarray(1e-3, jnp.float32)

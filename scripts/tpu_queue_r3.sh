@@ -34,7 +34,7 @@ leg() {
 }
 
 pending() {
-  for n in bench_packed bench_bucketed bench_nofuse packed_sweep serving packed_train vanilla_fast vanilla vanilla_sigma; do
+  for n in bench_packed bench_packed_nofuse bench_bucketed bench_nofuse packed_sweep serving packed_train packed_train_fused vanilla_fast vanilla vanilla_sigma; do
     [ -e "runs/tpu_queue/${n}.done" ] || return 0
   done
   return 1
@@ -51,6 +51,11 @@ for pass in 1 2 3 4 5 6 7 8; do
   # -7.1%, banded attention exec/true 1.088 vs 1.095 — measured on the bench
   # distribution with tools in scripts/bench_packed_kernel.py)
   leg bench_packed   7200 env BENCH_PACKED=1 BENCH_PACK_S=6144 BENCH_PACK_ROWS=10 python bench.py
+  # fused x packed ablation: the packed leg above now composes with the
+  # fused DiT layer kernels (fused prologue emits the packed kernel's
+  # transposed layout, ops/fused_qkv.py -> packed_flash_attention_T); this
+  # leg isolates the composition's contribution
+  leg bench_packed_nofuse 7200 env BENCH_PACKED=1 BENCH_PACK_S=6144 BENCH_PACK_ROWS=10 BENCH_FUSED=0 python bench.py
   leg bench_bucketed 7200 env BENCH_PACKED=0 python bench.py
   # fused-prologue ablation: BENCH_FUSED defaults to 1 since the fused
   # LN+adaLN+QKV kernel landed, so bench_bucketed above measures WITH the
@@ -62,6 +67,10 @@ for pass in 1 2 3 4 5 6 7 8; do
   leg packed_sweep   7200 python scripts/bench_packed_kernel.py --S 6144 --rows 10
   leg serving        7200 python scripts/measure_serving_latency.py
   leg packed_train   7200 python scripts/bench_packed_train.py
+  # fused-kernel training ablation (ref-recompute VJP: saves the forward
+  # elementwise passes, pays one ref recompute in backward — measure, don't
+  # assume)
+  leg packed_train_fused 7200 python scripts/bench_packed_train.py --fused
 
   # 3a. cheap insurance leg (~20 min chip): the localized-regime evidence run
   #     (runs/closure_vanilla_local, 16384 ev, lr 1e-3) hit train loss 0.06 by

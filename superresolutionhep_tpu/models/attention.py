@@ -105,7 +105,7 @@ class MultiheadAttention(nn.Module):
         if fused_ln is not None:
             if edges is not None or attn_bias is not None or attn_valid is not None:
                 raise ValueError("fused_ln supports padding-masked self-attention only")
-            return self._fused_self_attention(q, q_valid, fused_ln)
+            return self._fused_self_attention(q, q_valid, fused_ln, segment_ids)
         if k is None:
             k = q
             if kv_valid is None:
@@ -217,11 +217,14 @@ class MultiheadAttention(nn.Module):
             return out, edge_out
         return out
 
-    def _fused_self_attention(self, x, valid, fused_ln):
+    def _fused_self_attention(self, x, valid, fused_ln, segment_ids=None):
         """Fused-prologue self-attention: LN + modulate + QKV in one Pallas
-        pass (ops/fused_qkv.py) straight into the transposed flash kernel.
-        Falls back to an equivalent unfused formulation when the shape gates
-        fail, so the caller never needs a second code path."""
+        pass (ops/fused_qkv.py) straight into the transposed flash kernel —
+        the padding-masked kernel for bucketed batches, the banded
+        segment-packed kernel when ``segment_ids`` is given (eff_a/eff_b are
+        then per-cell (B, L, F) rows).  Falls back to an equivalent unfused
+        formulation when the shape gates fail, so the caller never needs a
+        second code path."""
         from ..ops.flash_attention import (
             LOG2E,
             flash_shapes_ok,
@@ -236,12 +239,24 @@ class MultiheadAttention(nn.Module):
         scale = 1.0 / math.sqrt(HD)
         softmax = "nomax_clip" if self.impl == "flash_nomax" else "max"
         dt = self.dtype or x.dtype
+        packed = segment_ids is not None
+        if packed:
+            from ..ops.flash_packed import (
+                PAD_SEG,
+                packed_flash_attention,
+                packed_flash_attention_T,
+                packed_shapes_ok,
+            )
+
+            kernel_shapes_ok = packed_shapes_ok(L, HD)
+        else:
+            kernel_shapes_ok = flash_shapes_ok(L, L, HD)
 
         fuse_ok = (
             not self.is_initializing()
             and self.impl != "xla"
             and fused_qkv_ok(L, F)
-            and flash_shapes_ok(L, L, HD)
+            and kernel_shapes_ok
             and (self.impl in ("flash", "flash_nomax") or jax.default_backend() == "tpu")
         )
         if fuse_ok:
@@ -255,9 +270,14 @@ class MultiheadAttention(nn.Module):
             bias = jnp.concatenate([pq["bias"] * c, pk["bias"], pv["bias"]])[:, None]
             qkvT = fused_ln_mod_proj(x.astype(dt), eff_a, eff_b, w, bias)
             qkvT = qkvT.reshape(B, 3, H, HD, L)
-            outT = masked_flash_attention_T(
-                qkvT[:, 0], qkvT[:, 1], qkvT[:, 2], valid, valid, softmax=softmax
-            )
+            if packed:
+                outT = packed_flash_attention_T(
+                    qkvT[:, 0], qkvT[:, 1], qkvT[:, 2], segment_ids, softmax=softmax
+                )
+            else:
+                outT = masked_flash_attention_T(
+                    qkvT[:, 0], qkvT[:, 1], qkvT[:, 2], valid, valid, softmax=softmax
+                )
             out = jnp.transpose(outT, (0, 3, 1, 2)).reshape(B, L, self.embed_dim)
         else:
             # unfused equivalent: parameter-free LN + folded affine, then the
@@ -268,13 +288,34 @@ class MultiheadAttention(nn.Module):
             xc = xf - mu
             var = (xc * xc).mean(-1, keepdims=True)
             xhat = xc * jax.lax.rsqrt(var + LN_EPS)
-            y = (xhat * eff_a[:, None, :] + eff_b[:, None, :]).astype(dt)
+            a3 = eff_a if eff_a.ndim == 3 else eff_a[:, None, :]
+            b3 = eff_b if eff_b.ndim == 3 else eff_b[:, None, :]
+            y = (xhat * a3 + b3).astype(dt)
             q_p = self.linear_q(y).reshape(B, L, H, HD)
             k_p = self.linear_k(y).reshape(B, L, H, HD)
             v_p = self.linear_v(y).reshape(B, L, H, HD)
-            out = masked_flash_attention(
-                q_p, k_p, v_p, valid, valid, scale=scale, softmax=softmax
-            ).reshape(B, L, self.embed_dim)
+            if packed and kernel_shapes_ok and (
+                self.impl in ("flash", "flash_nomax") or jax.default_backend() == "tpu"
+            ) and self.impl != "xla":
+                out = packed_flash_attention(
+                    q_p, k_p, v_p, segment_ids, scale=scale, softmax=softmax
+                ).reshape(B, L, self.embed_dim)
+            elif packed:
+                # einsum fallback with the segment-equality mask (mirrors the
+                # unfused packed fallback in __call__)
+                seg = segment_ids
+                seg_mask = (seg[:, :, None] == seg[:, None, :]) & (
+                    seg != PAD_SEG
+                )[:, None, :]
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q_p, k_p) * scale
+                weights = masked_softmax(scores, seg_mask[:, None], axis=-1)
+                out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_p).reshape(
+                    B, L, self.embed_dim
+                )
+            else:
+                out = masked_flash_attention(
+                    q_p, k_p, v_p, valid, valid, scale=scale, softmax=softmax
+                ).reshape(B, L, self.embed_dim)
         if self.out_proj:
             out = self.linear_out(out)
         return out

@@ -87,8 +87,10 @@ class DiTLayer(nn.Module):
         fuse = (
             self.fused_prologue
             and k is None
-            and segment_ids is None
-            and context_seg is None
+            # packed rows (segment_ids + per-segment context) fuse too: the
+            # scattered modulation is per-cell, the fused_qkv kernel takes
+            # (B, L, F) rows, and attention runs the banded packed kernel
+            and (segment_ids is None) == (context_seg is None)
             and attn_valid is None
             and attn_bias is None
             and self.sp_axis is None
@@ -98,14 +100,16 @@ class DiTLayer(nn.Module):
             # bind norm1 (cheap dummy slice; output is dead code) and fold
             # its gamma/beta with the adaLN shift/scale into the two affine
             # rows the fused kernel consumes — norm1 itself never runs over
-            # the full activation
+            # the full activation.  The (F,) LN params broadcast against
+            # per-batch (B, F) and per-cell (B, L, F) modulation alike.
             _ = norm1(q[:, :1])
             ln_p = norm1.variables["params"]
-            one_scale = 1.0 + scale_msa.astype(jnp.float32)  # (B, F)
-            eff_a = ln_p["scale"][None, :] * one_scale
-            eff_b = ln_p["bias"][None, :] * one_scale + shift_msa.astype(jnp.float32)
+            one_scale = 1.0 + scale_msa.astype(jnp.float32)
+            eff_a = ln_p["scale"] * one_scale
+            eff_b = ln_p["bias"] * one_scale + shift_msa.astype(jnp.float32)
             q_attn = mha(
-                q=q, q_valid=q_valid, fused_ln=(eff_a, eff_b), deterministic=deterministic
+                q=q, q_valid=q_valid, fused_ln=(eff_a, eff_b),
+                segment_ids=segment_ids, deterministic=deterministic,
             )
         elif k is None:  # self-attention: modulate the tokens themselves
             q_attn = mha(
@@ -146,9 +150,11 @@ class DiTLayer(nn.Module):
                 _ = dense(q[:, :1], context=context, deterministic=deterministic)
                 n2 = norm2.variables["params"]
                 dp = dense.variables["params"]
+                # (F,) LN params broadcast against per-batch (B, F) and
+                # per-cell (B, L, F) modulation rows alike (packed path)
                 one_mlp = 1.0 + scale_mlp.astype(jnp.float32)
-                eff2_a = n2["scale"][None, :] * one_mlp
-                eff2_b = n2["bias"][None, :] * one_mlp + shift_mlp.astype(jnp.float32)
+                eff2_a = n2["scale"] * one_mlp
+                eff2_b = n2["bias"] * one_mlp + shift_mlp.astype(jnp.float32)
                 dt = self.dtype or q.dtype
                 return fused_dit_mlp(
                     q,

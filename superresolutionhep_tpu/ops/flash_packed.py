@@ -460,6 +460,39 @@ def _packed_vjp_bwd(BQ, BK, msl, res, g):
 _packed_attention.defvjp(_packed_vjp_fwd, _packed_vjp_bwd)
 
 
+def packed_flash_attention_T(
+    qT_pre, kT, vT, seg,
+    softmax: str = "max",
+    block_q: int | None = None,
+    block_k: int | None = None,
+    max_segment_len: int | None = None,
+):
+    """Transposed-layout entry: qT_pre/kT/vT (B, H, D, S) with the softmax
+    scale and base-2 conversion ALREADY folded into qT_pre — the fused
+    LN+adaLN+QKV prologue (ops/fused_qkv.py) emits exactly this layout, so
+    the packed fast path composes with the fused DiT kernels without any
+    HBM layout pass in between.  Returns outT (B, H, D, S).  Caller must
+    have checked packed_shapes_ok."""
+    S = qT_pre.shape[3]
+    block_q = block_q or PACKED_DEFAULTS["block_q"]
+    block_k = block_k or PACKED_DEFAULTS["block_k"]
+    if max_segment_len is None:
+        max_segment_len = PACKED_DEFAULTS["max_segment_len"]
+    if S % block_q or S % block_k:
+        raise ValueError(f"S={S} must be a multiple of block_q/block_k")
+    # a q block may straddle two events: band <= BQ + 2*max_segment_len
+    # cells, rounded out to blocks (the band bound caps at the full row)
+    msl = int(max_segment_len) if max_segment_len is not None else S
+    seg = seg.astype(jnp.int32)
+    if softmax == "nomax_clip":
+        max_band = min(S // block_k, -(-(block_q + 2 * msl) // block_k) + 1)
+        outT, _ = _packed_fwd(
+            qT_pre, kT, vT, seg, block_q, block_k, max_band, nomax=True
+        )
+        return outT
+    return _packed_attention(qT_pre, kT, vT, seg, block_q, block_k, msl)
+
+
 def packed_flash_attention(
     q, k, v, seg, scale: float,
     softmax: str = "max",
@@ -481,29 +514,15 @@ def packed_flash_attention(
     train.  The no-max clip variant stays inference-only (the clip is a
     one-way door under training, flash_attention.py module docstring).
     """
-    B, S, H, D = q.shape
-    block_q = block_q or PACKED_DEFAULTS["block_q"]
-    block_k = block_k or PACKED_DEFAULTS["block_k"]
-    if max_segment_len is None:
-        max_segment_len = PACKED_DEFAULTS["max_segment_len"]
-    if S % block_q or S % block_k:
-        raise ValueError(f"S={S} must be a multiple of block_q/block_k")
-    # a q block may straddle two events: band <= BQ + 2*max_segment_len
-    # cells, rounded out to blocks (the band bound caps at the full row)
-    msl = int(max_segment_len) if max_segment_len is not None else S
-
     qT = jnp.transpose(q, (0, 2, 3, 1))
     kT = jnp.transpose(k, (0, 2, 3, 1))
     vT = jnp.transpose(v, (0, 2, 3, 1))
     qT_pre = qT * jnp.asarray(scale * LOG2E, qT.dtype)
-    seg = seg.astype(jnp.int32)
-    if softmax == "nomax_clip":
-        max_band = min(S // block_k, -(-(block_q + 2 * msl) // block_k) + 1)
-        outT, _ = _packed_fwd(
-            qT_pre, kT, vT, seg, block_q, block_k, max_band, nomax=True
-        )
-    else:
-        outT = _packed_attention(qT_pre, kT, vT, seg, block_q, block_k, msl)
+    outT = packed_flash_attention_T(
+        qT_pre, kT, vT, seg,
+        softmax=softmax, block_q=block_q, block_k=block_k,
+        max_segment_len=max_segment_len,
+    )
     return jnp.transpose(outT, (0, 3, 1, 2))
 
 

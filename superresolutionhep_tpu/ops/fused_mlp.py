@@ -67,13 +67,27 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, LRELU_SLOPE * x)
 
 
-def _kernel(q_ref, att_ref, ga_ref, a_ref, b_ref, gm_ref, w0_ref, b0_ref, w1_ref, b1_ref, o_ref):
-    """Grid (B, nL).  Blocks: q/attn (1, BL, F); row vectors (1, F);
+def _kernel(
+    q_ref, att_ref, ga_ref, a_ref, b_ref, gm_ref, w0_ref, b0_ref, w1_ref, b1_ref, o_ref,
+    *, per_cell: bool,
+):
+    """Grid (B, nL).  Blocks: q/attn (1, BL, F); gate/affine rows (1, F) —
+    or (1, BL, F) when the modulation is per-cell (segment-packed rows);
     w0 (F, Fh); b0 (1, Fh); w1 (Fh, F); b1 (1, F); o (1, BL, F)."""
     q = q_ref[0].astype(jnp.float32)  # (BL, F)
     att = att_ref[0].astype(jnp.float32)
-    h = q + ga_ref[...].astype(jnp.float32) * att  # (1,F) row broadcast
-    u = _ln(h) * a_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+    if per_cell:
+        ga = ga_ref[0].astype(jnp.float32)  # (BL, F)
+        a = a_ref[0].astype(jnp.float32)
+        b = b_ref[0].astype(jnp.float32)
+        gm = gm_ref[0].astype(jnp.float32)
+    else:
+        ga = ga_ref[...].astype(jnp.float32)  # (1, F) row broadcast
+        a = a_ref[...].astype(jnp.float32)
+        b = b_ref[...].astype(jnp.float32)
+        gm = gm_ref[...].astype(jnp.float32)
+    h = q + ga * att
+    u = _ln(h) * a + b
     u2 = _ln(u)
     w0 = w0_ref[...]
     z = lax.dot_general(
@@ -85,31 +99,37 @@ def _kernel(q_ref, att_ref, ga_ref, a_ref, b_ref, gm_ref, w0_ref, b0_ref, w1_ref
         z.astype(w1.dtype), w1, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
     z2 = _lrelu(z2 + b1_ref[...].astype(jnp.float32))
-    o_ref[0] = (h + gm_ref[...].astype(jnp.float32) * z2).astype(o_ref.dtype)
+    o_ref[0] = (h + gm * z2).astype(o_ref.dtype)
+
+
+def _row3(r):
+    """(B, F) row -> broadcastable (B, 1, F); per-cell (B, L, F) unchanged."""
+    return r if r.ndim == 3 else r[:, None, :]
 
 
 def _ref_dit_mlp(q, attn_out, gate_a, eff_a, eff_b, gate_m, w0, b0, w1, b1):
     """jnp ground truth (tests + custom-VJP backward)."""
     qf = q.astype(jnp.float32)
-    h = qf + gate_a[:, None, :].astype(jnp.float32) * attn_out.astype(jnp.float32)
-    u = _ln(h) * eff_a[:, None, :].astype(jnp.float32) + eff_b[:, None, :].astype(jnp.float32)
+    h = qf + _row3(gate_a).astype(jnp.float32) * attn_out.astype(jnp.float32)
+    u = _ln(h) * _row3(eff_a).astype(jnp.float32) + _row3(eff_b).astype(jnp.float32)
     u2 = _ln(u)
     z = jnp.einsum("blf,fh->blh", u2.astype(w0.dtype), w0, preferred_element_type=jnp.float32)
     z = _lrelu(z + b0[None, None].astype(jnp.float32))
     z2 = jnp.einsum("blh,hf->blf", z.astype(w1.dtype), w1, preferred_element_type=jnp.float32)
     z2 = _lrelu(z2 + b1[None, None].astype(jnp.float32))
-    return (h + gate_m[:, None, :].astype(jnp.float32) * z2).astype(q.dtype)
+    return (h + _row3(gate_m).astype(jnp.float32) * z2).astype(q.dtype)
 
 
 def _pallas_dit_mlp(q, attn_out, gate_a, eff_a, eff_b, gate_m, w0, b0, w1, b1):
     B, L, F = q.shape
     Fh = w0.shape[1]
     BL = _largest_block(L, MAX_BLOCK_L)
+    per_cell = gate_a.ndim == 3
     grid = (B, L // BL)
     blk = pl.BlockSpec((1, BL, F), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM)
-    row = pl.BlockSpec((1, F), lambda bi, i: (bi, 0), memory_space=pltpu.VMEM)
+    row = blk if per_cell else pl.BlockSpec((1, F), lambda bi, i: (bi, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, per_cell=per_cell),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         grid=grid,
         in_specs=[
@@ -138,8 +158,9 @@ def _pallas_dit_mlp(q, attn_out, gate_a, eff_a, eff_b, gate_m, w0, b0, w1, b1):
 @jax.custom_vjp
 def fused_dit_mlp(q, attn_out, gate_a, eff_a, eff_b, gate_m, w0, b0, w1, b1):
     """One-pass DiT MLP half-layer (module docstring).  q/attn_out:
-    (B, L, F); gate_a/eff_a/eff_b/gate_m: (B, F) folded rows; w0: (F, Fh);
-    b0: (Fh,); w1: (Fh, F); b1: (F,).  Returns the layer's new q."""
+    (B, L, F); gate_a/eff_a/eff_b/gate_m: (B, F) folded rows — or per-cell
+    (B, L, F) for segment-packed rows; w0: (F, Fh); b0: (Fh,); w1: (Fh, F);
+    b1: (F,).  Returns the layer's new q."""
     return _pallas_dit_mlp(q, attn_out, gate_a, eff_a, eff_b, gate_m, w0, b0, w1, b1)
 
 

@@ -77,7 +77,12 @@ class SRTrainer:
 
         fm_cfg = config_mv["flow_model"]
         self.model = FlowModel(
-            config=fm_cfg, dtype=dtype, remat=bool(config_t.get("remat", False))
+            config=fm_cfg, dtype=dtype, remat=bool(config_t.get("remat", False)),
+            # training opt-in for the fused DiT layer kernels (inference
+            # default): differentiable via ref-recompute VJP, grad-parity
+            # tested (tests/test_fused_{qkv,mlp}.py); composes with
+            # `packed: true` (per-cell modulation rows)
+            fused_prologue=bool(config_t.get("fused_prologue", False)),
         )
         self.sigma_min = float(fm_cfg["sigma_min"])
         self.n_steps = int(fm_cfg["n_steps"])

@@ -19,14 +19,15 @@ def _rand(rng, *shape):
     return jnp.asarray(rng.normal(size=shape), jnp.float32)
 
 
-def _args(rng, B=2, L=256, F=256, Fh=256):
+def _args(rng, B=2, L=256, F=256, Fh=256, per_cell=False):
+    row = (B, L, F) if per_cell else (B, F)
     return (
         _rand(rng, B, L, F),
         _rand(rng, B, L, F),
-        _rand(rng, B, F),
-        _rand(rng, B, F),
-        _rand(rng, B, F),
-        _rand(rng, B, F),
+        _rand(rng, *row),
+        _rand(rng, *row),
+        _rand(rng, *row),
+        _rand(rng, *row),
         _rand(rng, F, Fh) * 0.05,
         _rand(rng, Fh),
         _rand(rng, Fh, F) * 0.05,
@@ -41,8 +42,27 @@ def test_kernel_parity():
     )
 
 
+def test_kernel_parity_percell():
+    """Per-cell gate/affine rows (B, L, F) — the segment-packed path where
+    the adaLN modulation is scattered per cell."""
+    args = _args(np.random.default_rng(2), per_cell=True)
+    np.testing.assert_allclose(
+        np.asarray(fused_dit_mlp(*args)), np.asarray(_ref_dit_mlp(*args)), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_kernel_grad_parity():
     args = _args(np.random.default_rng(1), B=1, L=128, F=128, Fh=128)
+    idx = tuple(range(len(args)))
+    g = jax.grad(lambda *a: jnp.sum(fused_dit_mlp(*a) ** 2), argnums=idx)(*args)
+    gr = jax.grad(lambda *a: jnp.sum(_ref_dit_mlp(*a) ** 2), argnums=idx)(*args)
+    for u, v in zip(g, gr):
+        scale = max(float(jnp.max(jnp.abs(v))), 1.0)
+        assert float(jnp.max(jnp.abs(u - v))) / scale < 1e-5
+
+
+def test_kernel_grad_parity_percell():
+    args = _args(np.random.default_rng(3), B=1, L=128, F=128, Fh=128, per_cell=True)
     idx = tuple(range(len(args)))
     g = jax.grad(lambda *a: jnp.sum(fused_dit_mlp(*a) ** 2), argnums=idx)(*args)
     gr = jax.grad(lambda *a: jnp.sum(_ref_dit_mlp(*a) ** 2), argnums=idx)(*args)

@@ -128,3 +128,93 @@ def test_fused_fallback_on_ungated_shape(dit_pair):
     np.testing.assert_allclose(
         np.asarray(out)[m], np.asarray(outf)[m], rtol=2e-4, atol=2e-4
     )
+
+
+# ---------------------------------------------------------------------------
+# fused x segment-packed composition: the fused prologue emits the packed
+# kernel's transposed layout directly (packed_flash_attention_T), with
+# per-cell modulation rows from the per-segment adaLN scatter
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dit_packed_pair():
+    from superresolutionhep_tpu.ops.flash_packed import PACKED_DEFAULTS, set_packed_defaults
+
+    kw = dict(embed_dim=256, num_layers=2, num_heads=4, dense_config=DENSE_CFG, attn_impl="flash")
+    enc = DiTEncoder(**kw)
+    enc_f = DiTEncoder(**kw, fused_prologue=True)
+    rng = np.random.default_rng(5)
+    B, S, E, C = 2, 512, 4, 160
+    x = _rand(rng, B, S, 256)
+    # packer layout (data/packing.py): seg id = event index within the row,
+    # events start 128-aligned, -1 pads trail each event's aligned slot
+    seg = np.full((B, S), -1, np.int32)
+    seg[0, 0:200] = 0
+    seg[0, 256 : 256 + 150] = 1
+    seg[1, 0:128] = 0
+    seg[1, 128 : 128 + 250] = 1
+    seg[1, 384 : 384 + 96] = 2
+    seg = jnp.asarray(seg)
+    onehot = jnp.asarray(
+        (np.asarray(seg)[..., None] == np.arange(E)[None, None, :]).astype(np.float32)
+    )
+    context_seg = _rand(rng, B, E, C)
+    context = jnp.einsum("bse,bec->bsc", onehot, context_seg)
+    valid = seg >= 0
+    saved = dict(PACKED_DEFAULTS)
+    set_packed_defaults(block_q=128, block_k=128, max_segment_len=256)
+    params = enc.init(
+        jax.random.PRNGKey(0), x, q_valid=valid, context=context,
+        context_seg=context_seg, seg_onehot=onehot, segment_ids=seg,
+    )
+    yield enc, enc_f, params, x, context, context_seg, onehot, seg, valid
+    set_packed_defaults(**saved)
+
+
+def _apply_packed(mod, params, x, context, context_seg, onehot, seg, valid):
+    return mod.apply(
+        params, x, q_valid=valid, context=context,
+        context_seg=context_seg, seg_onehot=onehot, segment_ids=seg,
+    )
+
+
+def test_dit_fused_packed_forward_parity(dit_packed_pair):
+    enc, enc_f, params, *rest = dit_packed_pair
+    valid = rest[-1]
+    out = _apply_packed(enc, params, *rest)
+    outf = _apply_packed(enc_f, params, *rest)
+    m = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(out)[m], np.asarray(outf)[m], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_dit_fused_packed_grad_parity(dit_packed_pair):
+    enc, enc_f, params, *rest = dit_packed_pair
+    valid = rest[-1]
+
+    def loss(p, mod):
+        out = _apply_packed(mod, p, *rest)
+        return jnp.sum(jnp.where(valid[..., None], out, 0.0) ** 2)
+
+    g = jax.grad(lambda p: loss(p, enc))(params)
+    gf = jax.grad(lambda p: loss(p, enc_f))(params)
+    for u, v in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(gf)):
+        scale = max(float(jnp.max(jnp.abs(u))), 1.0)
+        assert float(jnp.max(jnp.abs(u - v))) / scale < 1e-4
+
+
+def test_dit_fused_packed_xla_fallback(dit_packed_pair):
+    """attn_impl='xla' on CPU fails the fused gate: the per-cell fallback
+    (manual LN + folded affine + segment-equality einsum) must still match
+    the standard packed path."""
+    enc, enc_f, params, *rest = dit_packed_pair
+    valid = rest[-1]
+    kw = dict(embed_dim=256, num_layers=2, num_heads=4, dense_config=DENSE_CFG, attn_impl="xla")
+    out = _apply_packed(DiTEncoder(**kw), params, *rest)
+    outf = _apply_packed(DiTEncoder(**kw, fused_prologue=True), params, *rest)
+    m = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(out)[m], np.asarray(outf)[m], rtol=2e-4, atol=2e-4
+    )

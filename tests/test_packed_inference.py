@@ -106,3 +106,36 @@ def test_packed_oversize_events_route_to_bucketed(setup):
             err_msg=f"event {i} misrouted or misordered",
         )
         assert np.isfinite(np.asarray(got["e_pred_raw"][i])).all()
+
+
+def test_packed_fast_softmax_fused_composition(setup):
+    """The expected-best production config — packed + fast_softmax (no-max
+    clip) + fused DiT layer kernels — must pass the first-packed-batch
+    selfcheck (robust unfused vs fused no-max on the SAME packed batch) and
+    produce a complete, finite prediction file with exact pass-through
+    branches."""
+    d, truth, base_cfg, params = setup
+    inf = SRInference(
+        {"model": dict(base_cfg, packed=True, pack_s=1024, pack_rows=2,
+                       fast_softmax=True)},
+        params=params,
+    )
+    assert inf.model_fast is not None and inf.model_fast.fused_prologue
+    pred = str(d / "pred_packed_fast.h5")
+    inf.run_pred({
+        "truth_path": truth, "pred_path": pred, "n_ensemble": 2,
+        "batch_size": 4, "ode_method": "midpoint",
+    })
+    # the selfcheck must have validated (random init -> LN-bounded logits,
+    # well inside the clip) rather than silently falling back
+    assert inf._nomax_validated and inf.fast_softmax
+    ref_pred = _run(d, truth, base_cfg, params, False, "pred_bucketed_fast_ref")
+    ref = root_io.read_tree(ref_pred, "High_Tree", ["e_truth_raw"])["e_truth_raw"]
+    got = root_io.read_tree(pred, "High_Tree", ["e_truth_raw", "e_pred_raw"])
+    assert len(got["e_truth_raw"]) == len(ref) == 6
+    for i in range(len(ref)):
+        np.testing.assert_array_equal(
+            np.asarray(got["e_truth_raw"][i]), np.asarray(ref[i]),
+            err_msg=f"event {i}",
+        )
+        assert np.isfinite(np.asarray(got["e_pred_raw"][i])).all()

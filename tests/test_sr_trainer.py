@@ -206,3 +206,27 @@ def test_sr_training_packed_mode(paths, tmp_path):
     t2 = SRTrainer(config_mv, bad, run_dir=str(tmp_path / "bad"), seed=0)
     with pytest.raises(ValueError, match="multiple of the mesh"):
         t2.fit(ds, vds, num_epochs=1)
+
+
+def test_sr_training_fused_packed_opt_in(paths, tmp_path):
+    """`fused_prologue: true` + `packed: true` (the fused x packed training
+    composition, ref-recompute VJP): one epoch runs with finite loss, and
+    the flag reaches the model."""
+    import json
+
+    train, val, _ = paths
+    run = str(tmp_path / "fused_packed_run")
+    config_mv, config_t = make_configs(train, val, run)
+    config_t = dict(
+        config_t, packed=True, pack_s=1024, pack_rows=8,
+        fused_prologue=True, n_event_displays=0,
+    )
+    trainer = SRTrainer(config_mv, config_t, run_dir=run, seed=0)
+    assert trainer.model.fused_prologue is True
+
+    ds = SupResEvents(train, config_mv)
+    vds = SupResEvents(val, config_mv)
+    state = trainer.fit(ds, vds, num_epochs=1)
+    assert state.epoch == 1
+    lines = [json.loads(l) for l in open(run + "/metrics.jsonl")]
+    assert np.isfinite(lines[0]["train/loss"])
