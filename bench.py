@@ -20,6 +20,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from superresolutionhep_tpu.utils.hostmem import ensure_tuned  # noqa: E402
+
+ensure_tuned()  # glibc malloc tunables via one-time re-exec (hostmem.py)
+
 N_STEPS = 25
 N_ENSEMBLE = 10
 N_EVENTS = 256

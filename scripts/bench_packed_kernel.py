@@ -21,6 +21,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from superresolutionhep_tpu.utils.hostmem import ensure_tuned  # noqa: E402
+
+ensure_tuned()  # glibc malloc tunables via one-time re-exec (hostmem.py)
+
 
 def main():
     ap = argparse.ArgumentParser()

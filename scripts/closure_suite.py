@@ -36,6 +36,10 @@ import yaml
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from superresolutionhep_tpu.utils.hostmem import ensure_tuned  # noqa: E402
+
+ensure_tuned()  # glibc malloc tunables via one-time re-exec (hostmem.py)
+
 from superresolutionhep_tpu.data import root_io
 from superresolutionhep_tpu.data.synthetic import GeneratorConfig, write_synthetic_file
 

@@ -18,6 +18,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from superresolutionhep_tpu.utils.hostmem import ensure_tuned  # noqa: E402
+
+ensure_tuned()  # glibc malloc tunables via one-time re-exec (hostmem.py)
+
 
 def synth_event(n_cells: int, seed: int = 0) -> dict:
     import numpy as np
