@@ -31,7 +31,31 @@ _VARS = {
     # peak RSS is bounded by the largest live working set, not the sum)
     "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
     "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+    # one arena: XLA:CPU worker threads otherwise allocate from non-main
+    # arenas whose 64 MB heaps are mapped/released independently of the
+    # trim threshold — on this VM every fresh map is re-zeroed by the
+    # hypervisor at ~80 MB/s (BASELINE.md).  Single-core box: no arena
+    # contention to lose.
+    "MALLOC_ARENA_MAX": "1",
 }
+
+
+_THP_KNOB = "/sys/kernel/mm/transparent_hugepage/enabled"
+
+
+def _enable_thp() -> None:
+    """Best-effort `always` THP: XLA:CPU's large anon temp buffers do not
+    madvise(MADV_HUGEPAGE), so `madvise` mode leaves them on 4 KiB pages —
+    measured 87x more page faults on a 268 MB-temporary jit loop (BASELINE
+    host-allocator section).  Root-only, silently skipped elsewhere."""
+    try:
+        with open(_THP_KNOB) as fp:
+            if "[always]" in fp.read():
+                return
+        with open(_THP_KNOB, "w") as fp:
+            fp.write("always")
+    except OSError:
+        pass
 
 
 def ensure_tuned() -> None:
@@ -39,6 +63,7 @@ def ensure_tuned() -> None:
     are already in the environment, on non-Linux, or under pytest)."""
     if sys.platform != "linux" or "pytest" in sys.modules:
         return
+    _enable_thp()
     if all(v in os.environ for v in _VARS):
         return
     # only re-exec a plain `python <script.py> ...` invocation: under -c/-m/
