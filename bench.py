@@ -361,7 +361,9 @@ def main():
     except Exception:
         pass
     base = published.get("sr_inference_events_per_sec")
-    vs = (events_per_sec / base) if base else None
+    # degraded mode: the published baseline is a TPU number at production
+    # settings — a CPU/16-event ratio against it is meaningless, null it
+    vs = (events_per_sec / base) if (base and not degraded) else None
 
     # secondary metrics: skipped in degraded CPU mode (each would take
     # longer than the whole degraded headline run)

@@ -103,8 +103,23 @@ class MultiheadAttention(nn.Module):
         folded affine coefficients (B, F).  Caller guarantees self-attention
         with padding masks only."""
         if fused_ln is not None:
-            if edges is not None or attn_bias is not None or attn_valid is not None:
-                raise ValueError("fused_ln supports padding-masked self-attention only")
+            # enforce the full contract, not just the mask subset: silently
+            # ignoring k/v (cross-attention), a sharded kv axis, or active
+            # score dropout would return plausible-shaped but wrong output
+            # (code-review r3)
+            if (
+                edges is not None
+                or attn_bias is not None
+                or attn_valid is not None
+                or k is not None
+                or v is not None
+                or self.sp_axis is not None
+                or (self.dropout > 0.0 and not deterministic)
+            ):
+                raise ValueError(
+                    "fused_ln supports padding-masked self-attention only "
+                    "(no k/v, edges, attn_bias/valid, sp_axis, or active dropout)"
+                )
             return self._fused_self_attention(q, q_valid, fused_ln, segment_ids)
         if k is None:
             k = q
@@ -312,10 +327,27 @@ class MultiheadAttention(nn.Module):
                 out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_p).reshape(
                     B, L, self.embed_dim
                 )
-            else:
+            elif kernel_shapes_ok and (
+                self.impl in ("flash", "flash_nomax") or jax.default_backend() == "tpu"
+            ) and self.impl != "xla":
                 out = masked_flash_attention(
                     q_p, k_p, v_p, valid, valid, scale=scale, softmax=softmax
                 ).reshape(B, L, self.embed_dim)
+            else:
+                # einsum fallback mirroring __call__'s dispatch gates: on the
+                # CPU backend (or impl='xla') the Pallas kernel would run in
+                # interpret mode, which is orders of magnitude slower
+                # (code-review r3)
+                scores = jnp.einsum("bqhd,bkhd->bhqk", q_p, k_p) * scale
+                vmask = (
+                    None
+                    if valid is None
+                    else (valid[:, :, None] & valid[:, None, :])[:, None]
+                )
+                weights = masked_softmax(scores, vmask, axis=-1)
+                out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_p).reshape(
+                    B, L, self.embed_dim
+                )
         if self.out_proj:
             out = self.linear_out(out)
         return out

@@ -40,6 +40,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# single source for the TPU block-divisor heuristic and the backend gate
+# (code-review r3: forked copies would drift from the flash kernel's rules);
+# fused_mlp.py re-imports these names from here
+from .flash_attention import _interpret, _largest_block  # noqa: E402
+
 # torch LayerNorm default eps — matches models/dense.py::LN_EPS (norm1/norm2
 # in the DiT layer are built with it)
 LN_EPS = 1e-5
@@ -47,22 +52,10 @@ LN_EPS = 1e-5
 MAX_BLOCK_L = 512
 
 
-def _largest_block(n: int, cap: int):
-    best = None
-    for b in range(128, min(n, cap) + 1, 128):
-        if n % b == 0:
-            best = b
-    return best
-
-
 def fused_qkv_ok(L: int, F: int) -> bool:
     """Shape gate: F on full lanes, L splittable into 128-aligned blocks,
     F small enough that a (BL, F) tile plus the (F, 3F) weight fit VMEM."""
     return F % 128 == 0 and F <= 1024 and _largest_block(L, MAX_BLOCK_L) is not None
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, per_cell: bool):

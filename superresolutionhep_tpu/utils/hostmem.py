@@ -70,8 +70,16 @@ def ensure_tuned() -> None:
     # REPL argv does not reproduce the process (it would hang or re-enter)
     if not sys.argv or not sys.argv[0].endswith(".py"):
         return
-    os.environ.update(_VARS)
+    for k, v in _VARS.items():
+        # setdefault: a user-provided tunable (e.g. MALLOC_ARENA_MAX=4 to
+        # measure arena behaviour) wins over ours (code-review r3)
+        os.environ.setdefault(k, v)
+    # sys.orig_argv reproduces interpreter flags (-O, -W, -X ...) that
+    # sys.argv drops (code-review r3); orig_argv[0] may be a bare 'python',
+    # so exec sys.executable (always an absolute path) with orig's args
+    orig = getattr(sys, "orig_argv", None)
+    argv = [sys.executable] + (orig[1:] if orig else sys.argv)
     try:
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        os.execv(sys.executable, argv)
     except OSError:  # exotic launcher: keep running untuned rather than die
         pass

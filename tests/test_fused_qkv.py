@@ -114,6 +114,38 @@ def test_dit_fused_grad_parity(dit_pair):
         assert float(jnp.max(jnp.abs(u - v))) / scale < 1e-4
 
 
+def test_dit_fused_xla_fallback(dit_pair):
+    """attn_impl='xla' (the explicit Pallas opt-out) with fused_prologue on a
+    gated shape: the unfused fallback must honor the opt-out and take the
+    einsum path (code-review r3 — it used to call the Pallas flash kernel
+    unconditionally, running interpret-mode on CPU), matching the standard
+    path."""
+    enc, enc_f, params, x, ctx, valid = dit_pair
+    kw = dict(embed_dim=256, num_layers=2, num_heads=4, dense_config=DENSE_CFG, attn_impl="xla")
+    out = DiTEncoder(**kw).apply(params, x, q_valid=valid, context=ctx)
+    outf = DiTEncoder(**kw, fused_prologue=True).apply(params, x, q_valid=valid, context=ctx)
+    m = np.asarray(valid)
+    np.testing.assert_allclose(
+        np.asarray(out)[m], np.asarray(outf)[m], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_ln_contract_guard():
+    """fused_ln with cross-attention k/v must raise, not silently compute
+    self-attention on q (code-review r3)."""
+    from superresolutionhep_tpu.models.attention import MultiheadAttention
+
+    mha = MultiheadAttention(embed_dim=256, num_heads=4, impl="xla")
+    rng = np.random.default_rng(7)
+    x = _rand(rng, 2, 256, 256)
+    y = _rand(rng, 2, 128, 256)
+    params = mha.init(jax.random.PRNGKey(0), x)
+    a = jnp.ones((2, 256), jnp.float32)
+    b = jnp.zeros((2, 256), jnp.float32)
+    with pytest.raises(ValueError, match="fused_ln"):
+        mha.apply(params, x, k=y, fused_ln=(a, b))
+
+
 def test_fused_fallback_on_ungated_shape(dit_pair):
     """L=192 fails the 128-block gate: the fused request must fall back to
     the equivalent unfused formulation inside MultiheadAttention and still
