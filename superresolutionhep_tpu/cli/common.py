@@ -24,14 +24,28 @@ def add_train_args(parser: argparse.ArgumentParser):
     return parser
 
 
+def apply_device_selection(device: str | None):
+    """Apply a platform selection that actually sticks on this runtime.
+
+    The axon TPU plugin IGNORES the ``JAX_PLATFORMS`` environment variable,
+    and with the tunnel down its backend probe can hang indefinitely — so a
+    caller exporting ``JAX_PLATFORMS=cpu`` (the standard JAX idiom) would
+    still hang.  Honor the env var explicitly through ``jax.config`` (which
+    the plugin does respect), with the CLI flag taking precedence."""
+    device = device or os.environ.get("JAX_PLATFORMS")
+    if device:
+        import jax
+
+        jax.config.update("jax_platforms", device)
+
+
 def apply_runtime_flags(args):
     """Device + precision selection. The reference pins a GPU via
     CUDA_VISIBLE_DEVICES and sets matmul precision (train.py:45-46); the TPU
     equivalents are platform selection and default matmul precision."""
     import jax
 
-    if args.device:
-        jax.config.update("jax_platforms", args.device)
+    apply_device_selection(args.device)
     if args.precision == "highest":
         jax.config.update("jax_default_matmul_precision", "highest")
     dtype = None

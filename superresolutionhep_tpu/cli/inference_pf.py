@@ -13,7 +13,12 @@ from ..config import load_yaml
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Stage-2 particle-flow inference")
     parser.add_argument("--inference_path", "-i", type=str, required=True)
+    parser.add_argument("--device", "-g", type=str, default=None, help="device selector (e.g. 'cpu')")
     args = parser.parse_args(argv)
+
+    from .common import apply_device_selection
+
+    apply_device_selection(args.device)
 
     inf_cfg = load_yaml(args.inference_path)
 

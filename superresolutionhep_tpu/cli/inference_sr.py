@@ -22,8 +22,12 @@ def main(argv=None):
     parser.add_argument("--batch_mode", "-bm", action="store_true")
     parser.add_argument("--entry_start", "-estart", type=int, default=0)
     parser.add_argument("--entry_stop", "-estop", type=int, default=None)
+    parser.add_argument("--device", "-g", type=str, default=None, help="device selector (e.g. 'cpu')")
     args = parser.parse_args(argv)
 
+    from .common import apply_device_selection
+
+    apply_device_selection(args.device)
     if args.precision == "highest":
         import jax
 

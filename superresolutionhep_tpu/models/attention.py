@@ -54,12 +54,26 @@ class MultiheadAttention(nn.Module):
     # stay local
     sp_axis: Optional[str] = None
     sp_mode: str = "gather"  # 'gather' | 'ring'
+    # tensor-parallel mesh axis (Megatron attention split): this module then
+    # holds a HEAD-sharded slice — ``num_heads``/``embed_dim`` are the LOCAL
+    # counts, ``q_dim`` the full model width.  Q/K/V are column-parallel,
+    # the output projection is row-parallel: its partial products psum over
+    # ``tp_axis``.  The caller shards the kernels and pre-divides the output
+    # bias by the axis size (parallel/tp.py).
+    tp_axis: Optional[str] = None
 
     def setup(self):
         if self.embed_dim % self.num_heads:
             raise ValueError(f"embed_dim {self.embed_dim} not divisible by {self.num_heads} heads")
         if self.edge_embed_dim % max(self.num_heads, 1):
             raise ValueError("edge_embed_dim must be divisible by num_heads")
+        if self.tp_axis is not None:
+            if not self.out_proj:
+                raise ValueError("tp_axis requires out_proj (row-parallel reduce point)")
+            if self.edge_embed_dim > 0:
+                raise ValueError("tp_axis does not support edge features")
+            if self.dropout > 0.0:
+                raise ValueError("tp_axis: score dropout would desync shards")
         dense = lambda feats, name: nn.Dense(  # noqa: E731
             feats, kernel_init=xavier_uniform, dtype=self.dtype, name=name
         )
@@ -114,13 +128,25 @@ class MultiheadAttention(nn.Module):
                 or k is not None
                 or v is not None
                 or self.sp_axis is not None
+                or self.tp_axis is not None
                 or (self.dropout > 0.0 and not deterministic)
             ):
                 raise ValueError(
                     "fused_ln supports padding-masked self-attention only "
-                    "(no k/v, edges, attn_bias/valid, sp_axis, or active dropout)"
+                    "(no k/v, edges, attn_bias/valid, sp_axis, tp_axis, or active dropout)"
                 )
             return self._fused_self_attention(q, q_valid, fused_ln, segment_ids)
+        if self.tp_axis is not None:
+            # Megatron 'f' at the column-parallel Q/K/V entry: identity fwd,
+            # psum bwd (ops/tp.py).  Applied before the k=q aliasing so one
+            # boundary covers all three self-attention projections.
+            from ..ops.tp import tp_block_input
+
+            q = tp_block_input(q, self.tp_axis)
+            if k is not None:
+                k = tp_block_input(k, self.tp_axis)
+            if v is not None:
+                v = tp_block_input(v, self.tp_axis)
         if k is None:
             k = q
             if kv_valid is None:
@@ -145,9 +171,7 @@ class MultiheadAttention(nn.Module):
             out = ring_masked_attention(
                 q_p, k_p, v_p, q_valid, kv_valid, 1.0 / scale, self.sp_axis
             ).reshape(B, Lq, self.embed_dim)
-            if self.out_proj:
-                out = self.linear_out(out)
-            return out
+            return self._project_out(out)
 
         if self.sp_axis is not None:
             # gather the sharded token axis of keys/values across the mesh;
@@ -178,9 +202,7 @@ class MultiheadAttention(nn.Module):
                     q_p, k_p, v_p, segment_ids, scale=1.0 / scale,
                     softmax="nomax_clip" if self.impl == "flash_nomax" else "max",
                 ).reshape(B, Lq, self.embed_dim)
-                if self.out_proj:
-                    out = self.linear_out(out)
-                return out
+                return self._project_out(out)
             # einsum fallback: block-diagonal mask from segment equality
             attn_valid = (segment_ids[:, :, None] == segment_ids[:, None, :]) & (
                 segment_ids >= 0
@@ -201,9 +223,7 @@ class MultiheadAttention(nn.Module):
                 softmax="nomax_clip" if self.impl == "flash_nomax" else "max",
             )
             out = out.reshape(B, Lq, self.embed_dim)
-            if self.out_proj:
-                out = self.linear_out(out)
-            return out
+            return self._project_out(out)
 
         mask = merge_masks(q_valid, kv_valid, attn_valid, Lq, Lk)  # (B, Lq, Lk) or None
 
@@ -222,14 +242,28 @@ class MultiheadAttention(nn.Module):
             weights = weights * jnp.transpose(g, (0, 3, 1, 2))
 
         out = jnp.einsum("bhqk,bkhd->bqhd", weights, v_p).reshape(B, Lq, self.embed_dim)
-        if self.out_proj:
-            out = self.linear_out(out)
+        out = self._project_out(out)
 
         if edges is not None:
             edge_out = None
             if self.update_edges:
                 edge_out = self.linear_e_out(jnp.transpose(scores, (0, 2, 3, 1)))
             return out, edge_out
+        return out
+
+    def _project_out(self, out):
+        """Output projection; under tensor parallelism the row-parallel
+        partial products all-reduce over ``tp_axis`` via Megatron's 'g'
+        (psum fwd / identity bwd, ops/tp.py — a plain lax.psum would
+        inflate crossing cotangents by the axis size).  The output bias
+        arrives pre-divided by the axis size (parallel/tp.py), so the
+        reduce reconstitutes it exactly once."""
+        if self.out_proj:
+            out = self.linear_out(out)
+        if self.tp_axis is not None:
+            from ..ops.tp import tp_allreduce
+
+            out = tp_allreduce(out, self.tp_axis)
         return out
 
     def _fused_self_attention(self, x, valid, fused_ln, segment_ids=None):

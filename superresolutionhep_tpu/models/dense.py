@@ -60,6 +60,14 @@ class Dense(nn.Module):
     # quantize eta/phi below the HR subcell pitch (the reference trains at
     # torch.set_float32_matmul_precision('highest'), train.py:35,46)
     precision: Any = None
+    # tensor-parallel mesh axis (Megatron MLP split): the single hidden
+    # layer is column-parallel (this module then sees the LOCAL hidden
+    # width), the output layer is row-parallel — its partial products psum
+    # over ``tp_axis`` BEFORE the final activation.  The caller shards the
+    # kernels and pre-divides the output bias by the axis size
+    # (parallel/tp.py).  Requires exactly one hidden layer and no norm or
+    # active dropout ahead of the final layer.
+    tp_axis: Optional[str] = None
 
     @classmethod
     def from_config(cls, cfg: dict, dtype=None, **overrides) -> "Dense":
@@ -84,6 +92,21 @@ class Dense(nn.Module):
         if self.context_size:
             x = attach_context(x, context)
 
+        if self.tp_axis is not None:
+            if len(self.hidden_layers) != 1:
+                raise ValueError("tp_axis requires exactly one hidden layer")
+            if self.norm_final_layer:
+                raise ValueError(
+                    "tp_axis: norm_final_layer would normalize the sharded hidden"
+                )
+            if self.dropout and not deterministic:
+                raise ValueError("tp_axis: active dropout would desync shards")
+            # Megatron 'f': identity fwd, psum bwd — complete cotangents for
+            # everything upstream of the column-parallel first matmul
+            from ..ops.tp import tp_block_input
+
+            x = tp_block_input(x, self.tp_axis)
+
         sizes = [*self.hidden_layers, self.output_size]
         num_layers = len(sizes)
         for i, size in enumerate(sizes):
@@ -101,6 +124,13 @@ class Dense(nn.Module):
                 precision=self.precision,
                 name=f"linear_{i}",
             )(x)
+            if is_final and self.tp_axis is not None:
+                # row-parallel output: all-reduce the per-shard partial
+                # products (Megatron 'g': psum fwd / identity bwd) before
+                # any final activation
+                from ..ops.tp import tp_allreduce
+
+                x = tp_allreduce(x, self.tp_axis)
             if not is_final:
                 x = ACTIVATIONS[self.activation](x)
             elif self.final_activation:

@@ -47,6 +47,15 @@ class DiTLayer(nn.Module):
     # prologue and the attention matmuls.  Self-attention + padding masks
     # only; inference default (SRInference), opt-in for training.
     fused_prologue: bool = False
+    # Megatron tensor parallelism over ``tp_axis`` (size ``tp_size``): the
+    # attention heads and the MLP hidden width are sharded — this module
+    # then declares LOCAL widths (num_heads/tp, embed_dim/tp attention
+    # projections, hidden/tp MLP) so the head-sliced parameter shards from
+    # parallel/tp.py bind directly.  LayerNorms and the adaLN modulation
+    # net stay replicated; the row-parallel reduce points live in
+    # models/attention.py and models/dense.py.
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(
@@ -74,18 +83,27 @@ class DiTLayer(nn.Module):
             mod = jnp.einsum("bse,bef->bsf", seg_onehot, mod)
         (shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp) = jnp.split(mod, 6, axis=-1)
 
+        tp = self.tp_size
+        if tp > 1 and (self.num_heads % tp or self.embed_dim % tp):
+            raise ValueError(
+                f"tp_size {tp} must divide num_heads {self.num_heads} and "
+                f"embed_dim {self.embed_dim}"
+            )
         norm1 = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm1")
         mha = MultiheadAttention(
-            embed_dim=self.embed_dim,
-            num_heads=self.num_heads,
+            embed_dim=self.embed_dim // tp,
+            num_heads=self.num_heads // tp,
+            q_dim=self.embed_dim if tp > 1 else None,
             dtype=self.dtype,
             impl=self.attn_impl,
             sp_axis=self.sp_axis,
             sp_mode=self.sp_mode,
+            tp_axis=self.tp_axis if tp > 1 else None,
             name="mha",
         )
         fuse = (
             self.fused_prologue
+            and tp == 1
             and k is None
             # packed rows (segment_ids + per-segment context) fuse too: the
             # scattered modulation is per-cell, the fused_qkv kernel takes
@@ -135,6 +153,13 @@ class DiTLayer(nn.Module):
             if self.dense_config is not None
             else None
         )
+        if mlp_cfg is not None and tp > 1:
+            hl = list(mlp_cfg.get("hidden_layers") or ())
+            if len(hl) != 1 or hl[0] % tp:
+                raise ValueError(
+                    f"tp_size {tp} needs one tp-divisible MLP hidden layer, got {hl}"
+                )
+            mlp_cfg["hidden_layers"] = (hl[0] // tp,)
         if fuse and mlp_cfg is not None:
             from ..ops.fused_mlp import fused_dit_mlp, fused_mlp_ok, mlp_config_fusable
 
@@ -172,7 +197,12 @@ class DiTLayer(nn.Module):
         q = q + _gate(gate_msa, q_attn)
 
         if mlp_cfg is not None:
-            dense = Dense.from_config(mlp_cfg, dtype=self.dtype, name="dense")
+            dense = Dense.from_config(
+                mlp_cfg,
+                dtype=self.dtype,
+                tp_axis=self.tp_axis if tp > 1 else None,
+                name="dense",
+            )
             q_mlp = dense(
                 modulate(nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="norm2")(q), shift_mlp, scale_mlp),
                 context=context,
@@ -193,6 +223,8 @@ class DiTEncoder(nn.Module):
     sp_axis: Optional[str] = None
     sp_mode: str = "gather"
     fused_prologue: bool = False
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
     # rematerialise each layer in the backward pass (jax.checkpoint): trades
     # FLOPs for HBM, the standard lever for long-cell-set training
     remat: bool = False
@@ -210,6 +242,8 @@ class DiTEncoder(nn.Module):
                 sp_axis=self.sp_axis,
                 sp_mode=self.sp_mode,
                 fused_prologue=self.fused_prologue,
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
                 name=f"layers_{i}",
             )(q, **kwargs)
         q = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_norm")(q)

@@ -35,6 +35,13 @@ class FlowModel(nn.Module):
     # context and attention K/V reduce/gather over it
     sp_axis: str = None
     sp_mode: str = "gather"
+    # Megatron tensor parallelism over ``tp_axis`` (size ``tp_size``):
+    # attention heads + DiT MLP hidden sharded, everything else replicated.
+    # The module then declares LOCAL widths, binding the head-sliced param
+    # shards from parallel/tp.py.  Composes with sp_axis (cells) and a data
+    # axis on a 3D mesh.
+    tp_axis: str = None
+    tp_size: int = 1
     remat: bool = False
     # fuse norm1 + adaLN + QKV per DiT layer (ops/fused_qkv.py); enabled by
     # the inference drivers, off for training/parity paths
@@ -155,6 +162,8 @@ class FlowModel(nn.Module):
                 sp_axis=self.sp_axis,
                 sp_mode=self.sp_mode,
                 fused_prologue=self.fused_prologue,
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
                 remat=self.remat,
                 name="transformer",
             )(
@@ -169,6 +178,8 @@ class FlowModel(nn.Module):
         elif tcfg["type"] == "GPT-2+Normformer":
             if seg is not None:
                 raise NotImplementedError("segment packing requires the DiT transformer")
+            if self.tp_size > 1:
+                raise NotImplementedError("tensor parallelism requires the DiT transformer")
             feat = TransformerEncoder(
                 embed_dim=int(cfg["h_dim"]),
                 num_layers=tcfg["num_transformer_layers"],

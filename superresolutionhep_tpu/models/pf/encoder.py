@@ -25,6 +25,9 @@ class PFEncoder(nn.Module):
     attn_impl: str = "auto"
     sp_axis: str = None
     sp_mode: str = "gather"
+    # Megatron tensor parallelism (parallel/tp.py): heads + MLP sharded
+    tp_axis: str = None
+    tp_size: int = 1
     # fused DiT layer kernels (ops/fused_{qkv,mlp}.py); inference opt-in
     fused_prologue: bool = False
 
@@ -70,6 +73,8 @@ class PFEncoder(nn.Module):
             attn_impl=self.attn_impl,
             sp_axis=self.sp_axis,
             sp_mode=self.sp_mode,
+            tp_axis=self.tp_axis,
+            tp_size=self.tp_size,
             fused_prologue=self.fused_prologue,
             name="transformer",
         )(x, q_valid=cell_mask, context=global_feat, deterministic=deterministic)

@@ -84,6 +84,8 @@ class KinematicsPredictor(nn.Module):
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
     sp_mode: str = "gather"
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
 
     @nn.compact
     def __call__(self, cell_feat, cell_mask, part_mask, batch, rng=None, deterministic=True):
@@ -122,6 +124,8 @@ class KinematicsPredictor(nn.Module):
             attn_impl=self.attn_impl,
             sp_axis=self.sp_axis,
             sp_mode=self.sp_mode,
+            tp_axis=self.tp_axis,
+            tp_size=self.tp_size,
             name="transformer",
         )(
             particle_emb,

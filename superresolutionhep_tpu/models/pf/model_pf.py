@@ -27,6 +27,9 @@ class SAPF(nn.Module):
     attn_impl: str = "auto"
     sp_axis: Optional[str] = None
     sp_mode: str = "gather"
+    # Megatron tensor parallelism for both DiT stacks (parallel/tp.py)
+    tp_axis: Optional[str] = None
+    tp_size: int = 1
     # fused DiT layer kernels in the cell encoder (ops/fused_{qkv,mlp}.py)
     fused_prologue: bool = False
 
@@ -36,6 +39,7 @@ class SAPF(nn.Module):
         encoded = PFEncoder(
             cfg, dtype=self.dtype, attn_impl=self.attn_impl,
             sp_axis=self.sp_axis, sp_mode=self.sp_mode,
+            tp_axis=self.tp_axis, tp_size=self.tp_size,
             fused_prologue=self.fused_prologue, name="encoder",
         )(batch, deterministic=deterministic)
 
@@ -62,6 +66,8 @@ class SAPF(nn.Module):
                 attn_impl=self.attn_impl,
                 sp_axis=self.sp_axis,
                 sp_mode=self.sp_mode,
+                tp_axis=self.tp_axis,
+                tp_size=self.tp_size,
                 name="kinematics_predictor",
             )(encoded, batch["cell_mask"], part_mask, batch, rng=rng, deterministic=deterministic)
 

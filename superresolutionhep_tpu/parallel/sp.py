@@ -90,14 +90,18 @@ def make_sp_train_step(flow_config: dict, tx, mesh: Mesh, sigma_min: float, dtyp
         def loss_fn(p):
             vt = model_sp.apply({"params": p}, batch, xt, t)
             m = batch["q_mask"][..., None].astype(vt.dtype)
+            # the shard's LOCAL squared-error share over the GLOBAL cell
+            # count: psum-ing se inside the differentiated function would
+            # inflate every gradient by the shard count (psum transposes
+            # to psum, ops/tp.py) — the grad psum below is the one and
+            # only cross-shard accumulation
             se = ((vt - ut) ** 2 * m).sum()
-            n = m.sum()
-            se = jax.lax.psum(se, (DATA, SEQ))
-            n = jax.lax.psum(n, (DATA, SEQ))
+            n = jax.lax.psum(m.sum(), (DATA, SEQ))  # no grad path
             return se / jnp.maximum(n, 1.0)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.psum(grads, (DATA, SEQ))
+        loss = jax.lax.psum(loss, (DATA, SEQ))  # logging only
         return loss, grads
 
     def step(params, opt_state, batch, rng):
@@ -170,6 +174,7 @@ def make_pf_sp_train_step(
     model_sp = SAPF(
         config_pf=config_pf, transforms=transforms, sp_axis=SEQ, sp_mode=sp_mode, dtype=dtype
     )
+    n_seq = mesh.shape[SEQ]
 
     def local_grads(params, batch):
         # real (non-filler) events: any valid cell on any seq shard
@@ -194,10 +199,17 @@ def make_pf_sp_train_step(
                 assign = hungarian(jax.lax.stop_gradient(pdist))
                 per_event = _gather_matched(pdist, assign).mean(axis=1)
                 loss_sum = loss_sum + (per_event * w).sum()
-            return jax.lax.psum(loss_sum, DATA) / n_real
+            # loss_sum is replicated along SEQ (the pairwise costs psum over
+            # it), so the per-shard loss share is loss_sum/(n_real * n_seq):
+            # summed over ALL mesh shards that recovers the global loss
+            # exactly once.  psum-ing inside the differentiated function
+            # would inflate every gradient by the shard count (psum
+            # transposes to psum, ops/tp.py).
+            return loss_sum / (n_real * n_seq)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         grads = jax.lax.psum(grads, (DATA, SEQ))
+        loss = jax.lax.psum(loss, (DATA, SEQ))  # logging only
         return loss, grads
 
     def step(params, opt_state, batch):

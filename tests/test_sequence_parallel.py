@@ -38,7 +38,15 @@ def test_sp_forward_matches_single_device(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-6)
 
 
-def test_sp_train_step_runs_and_improves(setup):
+def test_sp_train_step_grads_match_single_device(setup):
+    """dp(2) x sp(4) with SGD(lr=1): params_old - params_new recovers the
+    gradients; they must match single-device value_and_grad of the identical
+    flow-matching loss (same per-shard t/x0 streams).  Regression test for
+    the shard-count gradient inflation bug: psum-ing the loss inside the
+    differentiated function scales every gradient by n_shards because psum
+    transposes to psum (ops/tp.py)."""
+    from superresolutionhep_tpu.flow.cfm import sample_location_and_conditional_flow
+
     cfg, mesh, batch, noisy, t = setup
     # single-layer config: the grad-of-shard_map compile is expensive on the
     # virtual CPU mesh and one layer exercises the same collectives
@@ -47,15 +55,50 @@ def test_sp_train_step_runs_and_improves(setup):
     variables = model.init(jax.random.PRNGKey(0), batch, noisy, t)
     params = variables["params"]
 
-    tx = optax.adam(1e-3)
-    opt_state = tx.init(params)
+    tx = optax.sgd(1.0)
     _, step = make_sp_train_step(cfg, tx, mesh, sigma_min=1e-5)
-    losses = []
     rng = jax.random.PRNGKey(3)
-    for i in range(2):
-        params, opt_state, loss = step(params, opt_state, batch, jax.random.fold_in(rng, i))
-        losses.append(float(loss))
-    assert all(np.isfinite(losses))
+    params2, _, loss = step(params, tx.init(params), batch, rng)
+    grads_sp = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), params, params2
+    )
+
+    # reproduce the step's per-shard rng streams on the host: t per data
+    # shard (fold d), x0 per (data, seq) shard (fold d then s)
+    target = np.asarray(batch["target"])
+    B, N = target.shape[:2]
+    n_data, n_seq = mesh.shape["data"], mesh.shape["seq"]
+    Bl, Nl = B // n_data, N // n_seq
+    xt = np.zeros_like(target)
+    ut = np.zeros_like(target)
+    t_parts = []
+    for d in range(n_data):
+        key_t, key_x0 = jax.random.split(jax.random.fold_in(rng, d))
+        td = jax.random.uniform(key_t, (Bl,), jnp.float32)
+        t_parts.append(td)
+        for s in range(n_seq):
+            rng_x = jax.random.fold_in(key_x0, s)
+            tgt = jnp.asarray(target[d * Bl:(d + 1) * Bl, s * Nl:(s + 1) * Nl])
+            _, xt_c, ut_c = sample_location_and_conditional_flow(rng_x, tgt, 1e-5, t=td)
+            xt[d * Bl:(d + 1) * Bl, s * Nl:(s + 1) * Nl] = np.asarray(xt_c)
+            ut[d * Bl:(d + 1) * Bl, s * Nl:(s + 1) * Nl] = np.asarray(ut_c)
+    t_full = jnp.concatenate(t_parts)
+    xt_j, ut_j = jnp.asarray(xt), jnp.asarray(ut)
+
+    def ref_loss(p):
+        vt = model.apply({"params": p}, batch, xt_j, t_full)
+        m = batch["q_mask"][..., None].astype(vt.dtype)
+        return ((vt - ut_j) ** 2 * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+    ref_l, ref_g = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(loss), float(ref_l), rtol=1e-5)
+    flat_sp = jax.tree_util.tree_flatten_with_path(grads_sp)[0]
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_g)[0]
+    for (path, g_sp), (_, g_ref) in zip(flat_sp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(g_sp), np.asarray(g_ref), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
 
 
 def test_ring_attention_matches_single_device(setup):
@@ -161,14 +204,29 @@ def test_pf_sp_train_step_loss_matches_single_device():
     ref_loss = 0.5 * cross_entropy_int_labels(logits, batch["cardinality"], ev_mask) + inc_loss
 
     mesh = make_dp_sp_mesh(2, 4)
-    tx = optax.adam(1e-3)
+    tx = optax.sgd(1.0)  # SGD(lr=1): params_old - params_new == gradients
     opt_state = tx.init(variables["params"])
     _, step = make_pf_sp_train_step(
         cfg["pf_model"], transforms, tx, mesh, config_t=config_t
     )
     params2, opt_state2, loss = step(variables["params"], opt_state, batch)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-4, atol=1e-5)
-    # and the step actually updated the params
-    leaves0 = jax.tree_util.tree_leaves(variables["params"])
-    leaves1 = jax.tree_util.tree_leaves(params2)
-    assert any(not np.allclose(a, b) for a, b in zip(leaves0, leaves1))
+
+    # gradient parity vs single-device autodiff of the identical loss
+    # (regression for the n_shards inflation bug — see ops/tp.py)
+    def ref_loss_fn(p):
+        logits, kin, inc = model.apply({"params": p}, batch)
+        inc_loss, _, _ = set_to_set_incidence_loss(inc, batch, kin, ev_mask)
+        return 0.5 * cross_entropy_int_labels(logits, batch["cardinality"], ev_mask) + inc_loss
+
+    ref_g = jax.grad(ref_loss_fn)(variables["params"])
+    grads_sp = jax.tree_util.tree_map(
+        lambda a, b: np.asarray(a) - np.asarray(b), variables["params"], params2
+    )
+    flat_sp = jax.tree_util.tree_flatten_with_path(grads_sp)[0]
+    flat_ref = jax.tree_util.tree_flatten_with_path(ref_g)[0]
+    for (path, g_sp), (_, g_ref) in zip(flat_sp, flat_ref):
+        np.testing.assert_allclose(
+            np.asarray(g_sp), np.asarray(g_ref), rtol=3e-4, atol=1e-5,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}",
+        )
