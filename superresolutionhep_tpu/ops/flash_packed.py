@@ -126,8 +126,8 @@ def _packed_fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    qseg = qseg_ref[...].astype(jnp.float32)  # (1, BQ); ids < 2^24, fp32-exact
-    kseg = kseg_ref[...].astype(jnp.float32)  # (1, BK)
+    qseg = qseg_ref[0].astype(jnp.float32)  # (1, BQ); ids < 2^24, fp32-exact
+    kseg = kseg_ref[0].astype(jnp.float32)  # (1, BK)
 
     @pl.when(j < kcnt_ref[b, i])
     def _update():
@@ -198,7 +198,13 @@ def _packed_fwd(
         return (b, h, 0, _band_idx(b, i, j, ks, kc))
 
     def ksegmap(b, h, i, j, ks, kc):
-        return (b, _band_idx(b, i, j, ks, kc))
+        return (b, 0, _band_idx(b, i, j, ks, kc))
+
+    # TPU lowering requires the last two block dims be (8,128)-divisible or
+    # equal to the array dims; a (1, BQ) block over (B, S) seg violates the
+    # sublane rule, so seg gets a singleton middle axis: (B, 1, S) blocked
+    # as (1, 1, BQ) is legal (second-to-last block dim == array dim 1).
+    seg3 = seg[:, None, :]
 
     out_shape = jax.ShapeDtypeStruct(qT.shape, qT.dtype)
     out_specs = pl.BlockSpec(
@@ -218,8 +224,8 @@ def _packed_fwd(
             pl.BlockSpec((1, 1, D, BQ), lambda b, h, i, j, ks, kc: (b, h, 0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D, BK), kmap, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, D, BK), kmap, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ), lambda b, h, i, j, ks, kc: (b, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK), ksegmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BQ), lambda b, h, i, j, ks, kc: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BK), ksegmap, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         scratch_shapes=[
@@ -239,7 +245,7 @@ def _packed_fwd(
             transcendentals=B * H * S * NKB * BK,
         ),
         interpret=_interpret(),
-    )(kstart, kcnt, qT, kT, vT, seg, seg)
+    )(kstart, kcnt, qT, kT, vT, seg3, seg3)
     return res if with_lse else (res, None)
 
 
@@ -264,8 +270,8 @@ def _packed_bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    qseg = qseg_ref[...].astype(jnp.float32)  # (1, BQ)
-    kseg = kseg_ref[...].astype(jnp.float32)  # (1, BK)
+    qseg = qseg_ref[0].astype(jnp.float32)  # (1, BQ)
+    kseg = kseg_ref[0].astype(jnp.float32)  # (1, BK)
 
     @pl.when(j < kcnt_ref[b, i])
     def _update():
@@ -310,8 +316,8 @@ def _packed_bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    qseg = qseg_ref[...].astype(jnp.float32)  # (1, BQ)
-    kseg = kseg_ref[...].astype(jnp.float32)  # (1, BK)
+    qseg = qseg_ref[0].astype(jnp.float32)  # (1, BQ)
+    kseg = kseg_ref[0].astype(jnp.float32)  # (1, BK)
 
     @pl.when(j < qcnt_ref[b, i])
     def _update():
@@ -353,6 +359,7 @@ def _packed_bwd(qT, kT, vT, seg, outT, lse, gT, BQ: int, BK: int, msl: int):
     B, H, D, S = qT.shape
     nQ, nK = S // BQ, S // BK
 
+    seg3 = seg[:, None, :]  # (B, 1, S): legal TPU block (1, 1, BQ/BK)
     # zero cotangents on pad queries; dl = sum_d(out * g), (B, H, 1, S)
     gT = gT * (seg != PAD_SEG)[:, None, None, :]
     dl = (outT.astype(jnp.float32) * gT.astype(jnp.float32)).sum(2, keepdims=True)
@@ -367,9 +374,9 @@ def _packed_bwd(qT, kT, vT, seg, outT, lse, gT, BQ: int, BK: int, msl: int):
 
     qspec = pl.BlockSpec((1, 1, D, BQ), lambda b, h, i, j, st, ct: (b, h, 0, i), memory_space=pltpu.VMEM)
     rowq = pl.BlockSpec((1, 1, 1, BQ), lambda b, h, i, j, st, ct: (b, h, 0, i), memory_space=pltpu.VMEM)
-    qsegspec = pl.BlockSpec((1, BQ), lambda b, h, i, j, st, ct: (b, i), memory_space=pltpu.VMEM)
+    qsegspec = pl.BlockSpec((1, 1, BQ), lambda b, h, i, j, st, ct: (b, 0, i), memory_space=pltpu.VMEM)
     kband = pl.BlockSpec((1, 1, D, BK), lambda b, h, i, j, st, ct: (b, h, 0, _bidx(b, i, j, st, ct)), memory_space=pltpu.VMEM)
-    ksegband = pl.BlockSpec((1, BK), lambda b, h, i, j, st, ct: (b, _bidx(b, i, j, st, ct)), memory_space=pltpu.VMEM)
+    ksegband = pl.BlockSpec((1, 1, BK), lambda b, h, i, j, st, ct: (b, 0, _bidx(b, i, j, st, ct)), memory_space=pltpu.VMEM)
 
     dqT = pl.pallas_call(
         _packed_bwd_dq_kernel,
@@ -387,7 +394,7 @@ def _packed_bwd(qT, kT, vT, seg, outT, lse, gT, BQ: int, BK: int, msl: int):
             transcendentals=B * H * S * NKB * BK,
         ),
         interpret=_interpret(),
-    )(kstart, kcnt, qT, kT, vT, gT, lse, dl, seg, seg)
+    )(kstart, kcnt, qT, kT, vT, gT, lse, dl, seg3, seg3)
 
     # dkv pass: per-K-block Q band — band_ranges with the roles swapped
     # (segment overlap is symmetric, so treating K blocks as "queries" over
@@ -400,10 +407,10 @@ def _packed_bwd(qT, kT, vT, seg, outT, lse, gT, BQ: int, BK: int, msl: int):
         return jnp.minimum(jnp.minimum(st[b, i] + j, st[b, i] + last), nQ - 1)
 
     kspec2 = pl.BlockSpec((1, 1, D, BK), lambda b, h, i, j, st, ct: (b, h, 0, i), memory_space=pltpu.VMEM)
-    ksegspec2 = pl.BlockSpec((1, BK), lambda b, h, i, j, st, ct: (b, i), memory_space=pltpu.VMEM)
+    ksegspec2 = pl.BlockSpec((1, 1, BK), lambda b, h, i, j, st, ct: (b, 0, i), memory_space=pltpu.VMEM)
     qband2 = pl.BlockSpec((1, 1, D, BQ), lambda b, h, i, j, st, ct: (b, h, 0, _bidx2(b, i, j, st, ct)), memory_space=pltpu.VMEM)
     rowq2 = pl.BlockSpec((1, 1, 1, BQ), lambda b, h, i, j, st, ct: (b, h, 0, _bidx2(b, i, j, st, ct)), memory_space=pltpu.VMEM)
-    qsegband2 = pl.BlockSpec((1, BQ), lambda b, h, i, j, st, ct: (b, _bidx2(b, i, j, st, ct)), memory_space=pltpu.VMEM)
+    qsegband2 = pl.BlockSpec((1, 1, BQ), lambda b, h, i, j, st, ct: (b, 0, _bidx2(b, i, j, st, ct)), memory_space=pltpu.VMEM)
 
     dkT, dvT = pl.pallas_call(
         _packed_bwd_dkv_kernel,
@@ -427,7 +434,7 @@ def _packed_bwd(qT, kT, vT, seg, outT, lse, gT, BQ: int, BK: int, msl: int):
             transcendentals=B * H * S * NQB * BQ,
         ),
         interpret=_interpret(),
-    )(qstart2, qcnt2, qT, kT, vT, gT, lse, dl, seg, seg)
+    )(qstart2, qcnt2, qT, kT, vT, gT, lse, dl, seg3, seg3)
 
     return (dqT.astype(jnp.float32) * LN2).astype(qT.dtype), (
         dkT.astype(jnp.float32) * LN2
