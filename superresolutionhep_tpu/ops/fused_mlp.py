@@ -82,10 +82,10 @@ def _kernel(
         b = b_ref[0].astype(jnp.float32)
         gm = gm_ref[0].astype(jnp.float32)
     else:
-        ga = ga_ref[...].astype(jnp.float32)  # (1, F) row broadcast
-        a = a_ref[...].astype(jnp.float32)
-        b = b_ref[...].astype(jnp.float32)
-        gm = gm_ref[...].astype(jnp.float32)
+        ga = ga_ref[0].astype(jnp.float32)  # (1, F) row broadcast
+        a = a_ref[0].astype(jnp.float32)
+        b = b_ref[0].astype(jnp.float32)
+        gm = gm_ref[0].astype(jnp.float32)
     h = q + ga * att
     u = _ln(h) * a + b
     u2 = _ln(u)
@@ -127,7 +127,16 @@ def _pallas_dit_mlp(q, attn_out, gate_a, eff_a, eff_b, gate_m, w0, b0, w1, b1):
     per_cell = gate_a.ndim == 3
     grid = (B, L // BL)
     blk = pl.BlockSpec((1, BL, F), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM)
-    row = blk if per_cell else pl.BlockSpec((1, F), lambda bi, i: (bi, 0), memory_space=pltpu.VMEM)
+    if per_cell:
+        row = blk
+    else:
+        # TPU sublane rule: (1, F) blocks over (B, F) rows are illegal; lift
+        # the folded rows to (B, 1, F) and block (1, 1, F) (see fused_qkv.py)
+        gate_a = gate_a[:, None, :]
+        eff_a = eff_a[:, None, :]
+        eff_b = eff_b[:, None, :]
+        gate_m = gate_m[:, None, :]
+        row = pl.BlockSpec((1, 1, F), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, per_cell=per_cell),
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),

@@ -71,8 +71,8 @@ def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, per_cell: bool):
         a = a_ref[0].astype(jnp.float32)  # (BL, F)
         b = b_ref[0].astype(jnp.float32)
     else:
-        a = a_ref[...].astype(jnp.float32)  # (1, F) broadcast over rows
-        b = b_ref[...].astype(jnp.float32)
+        a = a_ref[0].astype(jnp.float32)  # (1, F) broadcast over rows
+        b = b_ref[0].astype(jnp.float32)
     y = xhat * a + b
     w = w_ref[...]  # (F, O)
     # (O, BL) = w^T @ y^T in one full-depth MXU pass: contraction over all F
@@ -107,7 +107,12 @@ def _pallas_ln_mod_proj(x, a, b, w, bias):
     if per_cell:
         ab_spec = pl.BlockSpec((1, BL, F), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM)
     else:
-        ab_spec = pl.BlockSpec((1, F), lambda bi, i: (bi, 0), memory_space=pltpu.VMEM)
+        # TPU sublane rule: a (1, F) block over (B, F) is illegal (second-to-
+        # last block dim 1 != B and not 8-divisible); feed the rows as
+        # (B, 1, F) so the (1, 1, F) block's last two dims match the array
+        a = a[:, None, :]
+        b = b[:, None, :]
+        ab_spec = pl.BlockSpec((1, 1, F), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, per_cell=per_cell),
         out_shape=jax.ShapeDtypeStruct((B, O, L), x.dtype),
