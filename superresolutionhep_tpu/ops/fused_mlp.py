@@ -71,9 +71,10 @@ def _kernel(
     q_ref, att_ref, ga_ref, a_ref, b_ref, gm_ref, w0_ref, b0_ref, w1_ref, b1_ref, o_ref,
     *, per_cell: bool,
 ):
-    """Grid (B, nL).  Blocks: q/attn (1, BL, F); gate/affine rows (1, F) —
-    or (1, BL, F) when the modulation is per-cell (segment-packed rows);
-    w0 (F, Fh); b0 (1, Fh); w1 (Fh, F); b1 (1, F); o (1, BL, F)."""
+    """Grid (B, nL).  Blocks: q/attn (1, BL, F); gate/affine rows (1, 1, F)
+    over a (B, 1, F) view — or (1, BL, F) when the modulation is per-cell
+    (segment-packed rows); w0 (F, Fh); b0 (1, Fh); w1 (Fh, F); b1 (1, F);
+    o (1, BL, F)."""
     q = q_ref[0].astype(jnp.float32)  # (BL, F)
     att = att_ref[0].astype(jnp.float32)
     if per_cell:

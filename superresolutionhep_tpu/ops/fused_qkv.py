@@ -59,9 +59,9 @@ def fused_qkv_ok(L: int, F: int) -> bool:
 
 
 def _kernel(x_ref, a_ref, b_ref, w_ref, bias_ref, o_ref, *, per_cell: bool):
-    """Grid (B, nL).  Blocks: x (1, BL, F); a/b (1, F) — or (1, BL, F) when
-    the modulation is per-cell (segment-packed rows); w (F, O) full;
-    bias (O, 1) full; o (1, O, BL)."""
+    """Grid (B, nL).  Blocks: x (1, BL, F); a/b (1, 1, F) over a (B, 1, F)
+    view — or (1, BL, F) when the modulation is per-cell (segment-packed
+    rows); w (F, O) full; bias (O, 1) full; o (1, O, BL)."""
     x = x_ref[0].astype(jnp.float32)  # (BL, F)
     mu = jnp.mean(x, axis=1, keepdims=True)
     xc = x - mu
