@@ -18,24 +18,78 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from superresolutionhep_tpu.utils.hostmem import ensure_tuned  # noqa: E402
+# NOTE: hostmem.ensure_tuned() (glibc malloc tunables via one-time re-exec)
+# is applied inside main(), NOT at import — the contract test imports this
+# module and a module-level re-exec would restart the pytest process.
 
-ensure_tuned()  # glibc malloc tunables via one-time re-exec (hostmem.py)
 
+def synth_event(n_cells: int, seed: int = 0, res_factor: int = 4) -> dict:
+    """Build one serving request in the SRServer contract: a ``{"low": ...,
+    "high": ...}`` pair (inference/server.py:59) with ECAL-only LR cells,
+    rf^2 HR children per LR cell in canonical order, and an identity
+    ``high_cell_to_low_cell_edge`` reorder map.  The HR ECAL cell count
+    (what the server buckets on) is ``ceil(n_cells / rf^2) * rf^2``.
 
-def synth_event(n_cells: int, seed: int = 0) -> dict:
+    Energies are a shower-like core+tail profile in MeV so the transform
+    statistics and the no-max saturation gate see realistic magnitudes.
+    """
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    return {
-        "cell_eta": rng.uniform(-1.2, 1.2, n_cells).tolist(),
-        "cell_phi": rng.uniform(-3.1, 3.1, n_cells).tolist(),
-        "cell_layer": rng.integers(0, 3, n_cells).tolist(),
-        "cell_e": np.abs(rng.normal(50.0, 20.0, n_cells)).tolist(),  # MeV
+    rf2 = res_factor * res_factor
+    n_lr = max(1, -(-n_cells // rf2))
+
+    # LR cells on a square eta-phi patch, layers 0-2 (ECAL), radial shower
+    # profile in energy (core cells ~GeV, tail cells ~MeV)
+    side = int(np.ceil(np.sqrt(n_lr)))
+    d_eta = 0.025
+    idx = np.arange(n_lr)
+    ie, ip = idx // side, idx % side
+    eta = -0.5 * side * d_eta + (ie + 0.5) * d_eta + rng.uniform(-0.3, 0.3)
+    phi = -0.5 * side * d_eta + (ip + 0.5) * d_eta + rng.uniform(-0.5, 0.5)
+    layer = (idx % 3).astype(int)
+    r2 = (ie - side / 2.0) ** 2 + (ip - side / 2.0) ** 2
+    e_lr = 2000.0 * np.exp(-r2 / (2 * (side / 6.0 + 1e-6) ** 2))
+    e_lr = np.maximum(e_lr * np.abs(1 + 0.2 * rng.normal(size=n_lr)), 1.0)  # MeV
+
+    radii = np.array([1500.0, 1600.0, 1700.0])
+    r = radii[layer]
+    theta = 2 * np.arctan(np.exp(-eta))
+
+    def _xyz(r_, eta_, phi_):
+        th = 2 * np.arctan(np.exp(-eta_))
+        return r_ * np.cos(phi_), r_ * np.sin(phi_), r_ / np.tan(th)
+
+    x, y, z = _xyz(r, eta, phi)
+    low = {
+        "cell_eta": eta.tolist(), "cell_phi": phi.tolist(),
+        "cell_layer": layer.tolist(), "cell_e": e_lr.tolist(),
+        "cell_x": x.tolist(), "cell_y": y.tolist(), "cell_z": z.tolist(),
     }
+
+    # HR children: rf x rf subgrid per LR cell, canonical order (children of
+    # LR cell k occupy HR slots k*rf2 .. k*rf2+rf2-1) -> identity reorder map
+    d_hr = d_eta / res_factor
+    off = (np.arange(rf2) // res_factor + 0.5) * d_hr - 0.5 * d_eta
+    offp = (np.arange(rf2) % res_factor + 0.5) * d_hr - 0.5 * d_eta
+    eta_h = (eta[:, None] + off[None, :]).ravel()
+    phi_h = (phi[:, None] + offp[None, :]).ravel()
+    layer_h = np.repeat(layer, rf2)
+    xh, yh, zh = _xyz(radii[layer_h], eta_h, phi_h)
+    high = {
+        "cell_eta": eta_h.tolist(), "cell_phi": phi_h.tolist(),
+        "cell_layer": layer_h.tolist(),
+        "cell_x": xh.tolist(), "cell_y": yh.tolist(), "cell_z": zh.tolist(),
+    }
+    low["high_cell_to_low_cell_edge"] = list(range(n_lr * rf2))
+    return {"low": low, "high": high}
 
 
 def main():
+    from superresolutionhep_tpu.utils.hostmem import ensure_tuned
+
+    ensure_tuned()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=12)
     ap.add_argument("--concurrency", type=int, default=4)

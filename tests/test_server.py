@@ -176,3 +176,36 @@ def test_http_round_trip(server):
     for out_i in results:
         assert out_i["n_cells"] == len(out_i["e_pred_raw"])
         assert np.isfinite(out_i["e_pred_raw"]).all()
+
+
+def test_latency_script_event_contract(server):
+    """The measure_serving_latency.py synth_event must satisfy the SRServer
+    request contract (r3 queue burned ~55 min retrying a KeyError: the script
+    built a flat dict where the server requires {"low": ..., "high": ...} —
+    VERDICT r3 weak #4). Drives the real predict_event with the script's own
+    event builder."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "measure_serving_latency",
+        os.path.join(HERE, "..", "scripts", "measure_serving_latency.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    srv, _ = server
+    ev = mod.synth_event(150, seed=3, res_factor=2)  # fixture config rf=2
+    # contract shape: low/high trees with the full LOW_KEYS geometry + edge map
+    from superresolutionhep_tpu.inference.server import LOW_KEYS
+
+    assert set(LOW_KEYS) <= set(ev["low"])
+    assert set(k for k in LOW_KEYS if k != "cell_e") <= set(ev["high"])
+    n_hr = len(ev["high"]["cell_eta"])
+    assert sorted(ev["low"]["high_cell_to_low_cell_edge"]) == list(range(n_hr))
+    assert n_hr == len(ev["low"]["cell_eta"]) * 4  # rf^2 children per LR cell
+
+    out = srv.predict_event(ev)
+    assert out["n_cells"] == n_hr  # ECAL-only event: nothing cut
+    assert out["bucket"] == 256
+    assert len(out["e_pred_raw"]) == n_hr
+    assert np.isfinite(out["e_pred_raw"]).all()
