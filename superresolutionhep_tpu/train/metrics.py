@@ -62,6 +62,36 @@ class MetricsLogger:
         with open(os.path.join(self.run_dir, "run_metadata.json"), "w") as fp:
             json.dump(meta, fp, indent=2)
 
+    def snapshot_source(self, configs: Optional[dict] = None):
+        """Zip the framework source + resolved configs into the run dir and
+        attach it to Comet when available — full parity with the reference
+        uploading its configs and source tree as experiment assets
+        (train.py:96-104).  A training run's exact code is then recoverable
+        from the run dir alone, independent of git state."""
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        repo_root = os.path.dirname(pkg_root)
+        zip_path = os.path.join(self.run_dir, "source_snapshot.zip")
+        with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+            for base, _, files in os.walk(pkg_root):
+                for f in sorted(files):
+                    if f.endswith(".py"):
+                        p = os.path.join(base, f)
+                        zf.write(p, os.path.relpath(p, repo_root))
+            for f in ("train.py", "inference.py", "train_pf.py", "inference_pf.py"):
+                p = os.path.join(repo_root, f)
+                if os.path.exists(p):
+                    zf.write(p, f)
+            if configs:
+                import yaml
+
+                for name, cfg in configs.items():
+                    zf.writestr(f"configs_resolved/{name}.yml", yaml.safe_dump(cfg))
+        if self.comet is not None:  # pragma: no cover
+            self.comet.log_asset(zip_path, file_name="source_snapshot.zip")
+        return zip_path
+
     def log_scalars(self, scalars: dict, step: int, prefix: str = ""):
         rec = {"step": step, "t": round(time.time() - self._t0, 3)}
         for k, v in scalars.items():

@@ -103,6 +103,7 @@ class PFTrainer:
 
         self.lr_fn = schedule_from_config(config_t)
         self.metrics = MetricsLogger(run_dir, use_comet=use_comet)
+        self.metrics.snapshot_source({"model_and_var": config_mv, "train": config_t})
         self.ckpt: Optional[CheckpointManager] = None
         self._bsh = data_sharding(self.mesh)
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))

@@ -101,6 +101,7 @@ class SRTrainer:
 
         self.lr_fn = schedule_from_config(config_t)
         self.metrics = MetricsLogger(run_dir, use_comet=use_comet)
+        self.metrics.snapshot_source({"model_and_var": config_mv, "train": config_t})
         self.ckpt: Optional[CheckpointManager] = None
 
         self._bsh = data_sharding(self.mesh)
