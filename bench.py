@@ -194,7 +194,7 @@ def main():
         ds.cell_count_high,
         quantum=int(os.environ.get("BENCH_QUANTUM", "512")),
         cost_budget=4096 * 4096 * 16,
-        max_batch_size=64,
+        max_batch_size=int(os.environ.get("BENCH_MAXB", "64")),
         shuffle=False,
         tail_shrink=True,  # underfilled tail batches run at a smaller B
     )
