@@ -196,7 +196,10 @@ def main():
         cost_budget=4096 * 4096 * 16,
         max_batch_size=int(os.environ.get("BENCH_MAXB", "64")),
         shuffle=False,
-        tail_shrink=True,  # underfilled tail batches run at a smaller B
+        # underfilled tail batches run at a smaller B; "exact" removes every
+        # filler row (7.4% of executed attention flops vs "pow2" on this
+        # event set — see data/bucketing.py)
+        tail_shrink=os.environ.get("BENCH_TAIL", "exact"),
     )
 
     # BENCH_PACKED=1: segment-packed batches — ONE compiled shape for the

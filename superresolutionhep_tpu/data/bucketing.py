@@ -73,7 +73,7 @@ class BucketBatcher:
         seed: int = 0,
         drop_last: bool = False,
         batch_multiple_of: int = 1,
-        tail_shrink: bool = False,
+        tail_shrink: bool | str = False,
     ):
         self.counts = np.asarray(counts, np.int64)
         self.buckets = make_buckets(
@@ -82,14 +82,21 @@ class BucketBatcher:
         self.quantum = quantum
         self.shuffle = shuffle
         self.drop_last = drop_last
-        # shrink the batch dim of each bucket's final underfilled batch by
-        # halving down to the smallest power-of-two multiple that still fits:
+        # shrink the batch dim of each bucket's final underfilled batch:
         # filler slots are NOT free — the dense stack runs over every padded
         # token (XLA cannot skip them) and the flash kernel still streams the
         # masked blocks, so a 2-real-event batch padded to B=64 costs ~32x its
         # useful work (measured: 4.7 s for 2 events at (64, 2048), BENCH_r02).
-        # Costs at most log2(B) extra compiled shapes per bucket, amortised by
-        # the persistent compile cache.
+        #   "pow2" (or True): halve down to the smallest power-of-two multiple
+        #     that still fits — at most log2(B) extra compiled shapes/bucket.
+        #   "exact": ceil(n_real / batch_multiple_of) * batch_multiple_of —
+        #     zero filler rows (up to mesh rounding).  A 64-batch bucket with
+        #     an 18-event tail runs B=18 instead of B=32 (14 filler rows, 44%
+        #     of that batch wasted under pow2); measured 7.4% of the
+        #     production bench's executed attention flops (BASELINE.md r4).
+        #     Costs one extra compiled shape per distinct tail size, amortised
+        #     by the persistent compile cache.  B has no TPU tiling
+        #     constraint (leading dim), so odd sizes run at full rate.
         self.tail_shrink = tail_shrink
         self.batch_multiple_of = max(1, batch_multiple_of)
         self._rng = np.random.default_rng(seed)
@@ -112,7 +119,11 @@ class BucketBatcher:
                     if self.drop_last:
                         continue
                     bs = bucket.batch_size
-                    if self.tail_shrink:
+                    if self.tail_shrink == "exact":
+                        # exact fit, rounded up to the data-mesh multiple
+                        m = self.batch_multiple_of
+                        bs = min(bs, -(-len(chunk) // m) * m)
+                    elif self.tail_shrink:
                         # shrunk sizes must stay multiples of the data-mesh
                         # size (halving 14 -> 7 would break even sharding)
                         m = self.batch_multiple_of

@@ -269,7 +269,7 @@ class SRInference:
                 quantum=int(self.config_t.get("bucket_quantum", 128)),
                 max_batch_size=int(inf_dict.get("batch_size", 32)),
                 shuffle=False,
-                tail_shrink=bool(inf_dict.get("tail_shrink", True)),
+                tail_shrink=inf_dict.get("tail_shrink", "exact"),
             )
             batcher = (
                 (np.where(ii >= 0, oversize_idx[np.clip(ii, 0, None)], -1), bucket)
@@ -286,7 +286,7 @@ class SRInference:
                 # shrink underfilled tail batches (padded slots cost real
                 # compute); a few extra compiled shapes, amortised by the
                 # persistent cache
-                tail_shrink=bool(inf_dict.get("tail_shrink", True)),
+                tail_shrink=inf_dict.get("tail_shrink", "exact"),
             )
         for bi, (idxs, bucket) in enumerate(batcher):
             events = [ds.get_event(i) if i >= 0 else None for i in idxs]

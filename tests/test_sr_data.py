@@ -149,6 +149,44 @@ def test_bucket_batcher_tail_shrink():
     assert (idxs3 >= 0).sum() == 3
 
 
+def test_bucket_batcher_tail_exact():
+    """tail_shrink='exact' sizes the tail batch to ceil(n_real / mesh) * mesh:
+    zero filler rows beyond mesh rounding (an 18-event tail in a 64-batch
+    bucket runs B=18, not the pow2 mode's B=32), coverage unchanged."""
+    counts = np.full(18, 300)  # one underfilled tail in a 64-batch bucket
+    bb = BucketBatcher(
+        counts, quantum=128, cost_budget=384 * 384 * 64, max_batch_size=64,
+        shuffle=False, tail_shrink="exact",
+    )
+    (idxs, bucket), = list(bb)
+    assert bucket.batch_size == 18 and (idxs >= 0).all()
+
+    # mesh multiple respected: 18 events on a 4-device data mesh -> B=20
+    bb4 = BucketBatcher(
+        counts, quantum=128, cost_budget=384 * 384 * 64, max_batch_size=64,
+        shuffle=False, tail_shrink="exact", batch_multiple_of=4,
+    )
+    (idxs4, b4), = list(bb4)
+    assert b4.batch_size == 20 and (idxs4 >= 0).sum() == 18
+
+    # full batches keep the bucket's nominal size; coverage is exact
+    rng = np.random.default_rng(5)
+    counts2 = rng.integers(10, 700, size=137)
+    bb2 = BucketBatcher(
+        counts2, quantum=128, cost_budget=512 * 512 * 8, shuffle=True, seed=2,
+        tail_shrink="exact",
+    )
+    seen = []
+    for idxs2, b2 in bb2:
+        real = idxs2[idxs2 >= 0]
+        assert np.all(counts2[real] <= b2.pad_n)
+        # exact tails: never more than batch_multiple_of-1 filler rows
+        assert len(idxs2) - len(real) == 0 or len(idxs2) == b2.batch_size
+        seen.extend(real.tolist())
+    assert sorted(seen) == list(range(137))
+    assert len(bb2) == sum(1 for _ in bb2)
+
+
 def test_collate_edge_mask_all2all_and_predefined():
     from superresolutionhep_tpu.data.sr_dataset import SupResEvent, collate
 
