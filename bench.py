@@ -27,7 +27,7 @@ ensure_tuned()  # glibc malloc tunables via one-time re-exec (hostmem.py)
 N_STEPS = 25
 N_ENSEMBLE = 10
 N_EVENTS = 256
-METHOD = "ab2"  # 2nd-order multistep: 1 model eval per step (see flow/ode.py)
+METHOD = "ab2e"  # 2nd-order multistep, Euler bootstrap: n_steps-1 evals total (flow/ode.py)
 MEASURED_CHIP_TFS = 96.9  # large-matmul bf16 rate measured on this chip with
                           # 50 chained 4096^2 matmuls inside one jit (per-call
                           # dispatch over the axon tunnel pollutes naive
@@ -190,9 +190,16 @@ def main():
     # the 2048-bucket mean event uses only ~24% of its padded compute).
     # Each distinct shape compiles once (slow on axon) and persists in
     # .jax_cache; the flash kernel accepts any L that is a multiple of 128
+    # BENCH_FINE_Q/BENCH_FINE_ABOVE: hybrid quantum — finer pad quantum for
+    # events above a length threshold (absolute padding waste ~2*N*pad grows
+    # with N, so the fine quantum at the top end buys most of the padding
+    # back for few extra compiled shapes; see data/bucketing.py)
+    fine_q = os.environ.get("BENCH_FINE_Q")
     batcher = BucketBatcher(
         ds.cell_count_high,
         quantum=int(os.environ.get("BENCH_QUANTUM", "512")),
+        fine_quantum=int(fine_q) if fine_q else None,
+        fine_above=int(os.environ.get("BENCH_FINE_ABOVE", "3072")),
         cost_budget=4096 * 4096 * 16,
         max_batch_size=int(os.environ.get("BENCH_MAXB", "64")),
         shuffle=False,

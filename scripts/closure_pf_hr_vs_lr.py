@@ -266,7 +266,7 @@ def main():
     ap.add_argument("--pf-epochs", type=int, default=100)
     ap.add_argument("--n-ensemble", type=int, default=10)
     ap.add_argument("--n-steps", type=int, default=25)
-    ap.add_argument("--ode-method", default="ab2")
+    ap.add_argument("--ode-method", default="ab2e")
     ap.add_argument("--fourier", type=int, default=9)
     ap.add_argument("--eval-only", action="store_true")
     ap.add_argument("--cpu", action="store_true")

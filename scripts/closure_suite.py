@@ -242,7 +242,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=120)
     ap.add_argument("--n-ensemble", type=int, default=10)
     ap.add_argument("--n-steps", type=int, default=25)
-    ap.add_argument("--ode-method", default="ab2")
+    ap.add_argument("--ode-method", default="ab2e")
     ap.add_argument("--fourier", type=int, default=0, help="fourier_features octaves (0 = exact reference architecture)")
     ap.add_argument("--multipart", action="store_true", help="overlapping-shower generator (hard mode)")
     ap.add_argument("--train-glob", default=None, help="override train path (e.g. pre-generated multi-file set)")

@@ -114,7 +114,7 @@ def main():
             "fast_softmax": True,
         },
         "n_ensemble": 10,
-        "ode_method": "ab2",
+        "ode_method": "ab2e",
     }
     # random-init params via SRInference(params=...) path: init on a small batch
     import jax.numpy as jnp

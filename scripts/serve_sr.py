@@ -49,7 +49,7 @@ def main():
                     default=[256, 512, 1024, 2048, 3072, 4096, 5120])
     ap.add_argument("--n-ensemble", type=int, default=10)
     ap.add_argument("--n-steps", type=int, default=25)
-    ap.add_argument("--ode-method", default="ab2")
+    ap.add_argument("--ode-method", default="ab2e")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 

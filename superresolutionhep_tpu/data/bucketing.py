@@ -33,13 +33,28 @@ def make_buckets(
     max_batch_size: int = 512,
     min_batch_size: int = 1,
     batch_multiple_of: int = 1,
+    fine_quantum: int | None = None,
+    fine_above: int = 0,
 ) -> List[Bucket]:
     """Derive bucket pad sizes covering the observed length distribution.
 
     ``batch_multiple_of`` rounds batch sizes up to a multiple of the data-mesh
     size so batches shard evenly across devices.
+
+    ``fine_quantum``/``fine_above`` switch to a finer pad quantum for events
+    longer than ``fine_above``: absolute padding waste in attention flops is
+    ~2*N*pad per event, so it grows with N — a fine quantum at the top end
+    buys most of the padding reduction for a handful of extra compiled
+    shapes, while short events keep the coarse quantum (small-L batches run
+    the dense stack at lower efficiency, so extra small buckets cost more
+    than their padding saves — measured, BASELINE.md bucket-quantum sweep).
     """
-    pad_sizes = sorted({int(np.ceil(n / quantum)) * quantum for n in set(int(c) for c in counts)})
+
+    def _pad(n: int) -> int:
+        q = fine_quantum if (fine_quantum is not None and n > fine_above) else quantum
+        return int(np.ceil(n / q)) * q
+
+    pad_sizes = sorted({_pad(n) for n in set(int(c) for c in counts)})
     if not pad_sizes:
         pad_sizes = [quantum]
     buckets = []
@@ -74,10 +89,14 @@ class BucketBatcher:
         drop_last: bool = False,
         batch_multiple_of: int = 1,
         tail_shrink: bool | str = False,
+        fine_quantum: int | None = None,
+        fine_above: int = 0,
     ):
         self.counts = np.asarray(counts, np.int64)
         self.buckets = make_buckets(
-            self.counts, quantum, cost_budget, max_batch_size, batch_multiple_of=batch_multiple_of
+            self.counts, quantum, cost_budget, max_batch_size,
+            batch_multiple_of=batch_multiple_of,
+            fine_quantum=fine_quantum, fine_above=fine_above,
         )
         self.quantum = quantum
         self.shuffle = shuffle

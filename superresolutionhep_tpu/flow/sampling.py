@@ -46,8 +46,9 @@ def generate_samples(
         t_vec = jnp.full((x.shape[0],), t, x.dtype)
         return apply_fn(variables, batch, x, t_vec)
 
-    if store_indices is not None and method == "ab2":
-        return odeint_ab2(vector_field, x0, ts, store_idx=store_indices)
+    if store_indices is not None and method in ("ab2", "ab2e"):
+        boot = "euler" if method == "ab2e" else "heun"
+        return odeint_ab2(vector_field, x0, ts, store_idx=store_indices, bootstrap=boot)
     if store_indices is not None and method == "ab3":
         from .ode import odeint_ab3
 

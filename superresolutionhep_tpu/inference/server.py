@@ -80,7 +80,7 @@ class SRServer:
     def __init__(self, inf_cfg: dict, buckets=DEFAULT_BUCKETS, params=None):
         self.inf = SRInference(inf_cfg, params=params)
         self.n_ensemble = int(inf_cfg.get("n_ensemble", 10))
-        self.method = inf_cfg.get("ode_method", "ab2")
+        self.method = inf_cfg.get("ode_method", "ab2e")
         self.buckets = sorted(buckets)
         self._lock = threading.Lock()
         self._key_counter = 0

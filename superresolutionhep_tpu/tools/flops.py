@@ -162,10 +162,13 @@ def sampler_evals(n_steps: int, method: str) -> int:
 
     Fixed-step methods pay k evals per step; ab2/ab3 pay 1 per step after a
     Heun bootstrap (2 evals on the first interval) — totalling exactly
-    ``n_steps`` evals (flow/ode.py)."""
+    ``n_steps`` evals; ab2e's Euler bootstrap reuses f0, so it pays
+    ``n_steps - 1`` (flow/ode.py)."""
     per_step = {"euler": 1, "midpoint": 2, "heun": 2, "rk4": 4}
     if method in ("ab2", "ab3"):
         return int(n_steps)  # Heun bootstrap (2) + 1 per remaining interval
+    if method == "ab2e":
+        return int(n_steps) - 1  # Euler bootstrap reuses f0
     if method in per_step:
         return per_step[method] * (int(n_steps) - 1)
     raise ValueError(f"eval count undefined for adaptive method {method!r}")

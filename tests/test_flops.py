@@ -69,6 +69,7 @@ def test_masked_discount_and_attention_share():
 
 def test_sampler_eval_counts():
     assert sampler_evals(25, "ab2") == 25
+    assert sampler_evals(25, "ab2e") == 24
     assert sampler_evals(25, "ab3") == 25
     assert sampler_evals(25, "euler") == 24
     assert sampler_evals(25, "midpoint") == 48

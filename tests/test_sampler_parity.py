@@ -85,6 +85,29 @@ def test_ab2_matches_dopri5_and_store():
         )
 
 
+def test_ab2e_matches_dopri5_and_store():
+    """ab2e (Euler bootstrap): one fewer f-eval than ab2 on the trajectory,
+    same global 2nd order — must pass the same 5% gate vs dopri5, and its
+    store path must match its own full trajectory."""
+    apply_fn, variables, batch = _setup()
+    key = jax.random.PRNGKey(4)
+    ref = generate_samples(apply_fn, variables, batch, key, n_steps=25, method="dopri5")
+    fast = generate_samples(apply_fn, variables, batch, key, n_steps=25, method="ab2e")
+    m = np.asarray(batch["q_mask"])
+    diff = np.abs(np.asarray(fast) - np.asarray(ref))[..., 0][m]
+    scale = np.abs(np.asarray(ref))[..., 0][m].mean() + 1e-3
+    assert diff.max() / scale < 0.05, diff.max()
+
+    full = generate_samples(apply_fn, variables, batch, key, n_steps=9, method="ab2e", ret_seq=True)
+    stored = generate_samples(
+        apply_fn, variables, batch, key, n_steps=9, method="ab2e", store_indices=[0, 1, 4, 8]
+    )
+    for s_i, pos in enumerate([0, 1, 4, 8]):
+        np.testing.assert_allclose(
+            np.asarray(stored[s_i]), np.asarray(full[pos]), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_ab3_matches_dopri5_and_store():
     """AB3: 1 eval/step at 3rd order — within the same 5% gate as ab2
     (VERDICT r1 item 10), and the O(S) store path matches the trajectory."""

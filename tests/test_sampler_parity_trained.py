@@ -78,7 +78,7 @@ def test_trained_ab2_ab3_match_dopri5_at_production_steps(trained_setup):
     m = np.asarray(batch["q_mask"])
     ref_m = np.asarray(ref)[..., 0][m]
     share_ref = 1.0 / (1.0 + np.exp(-ref_m))
-    for method in ("ab2", "ab3"):
+    for method in ("ab2", "ab2e", "ab3"):
         fast = generate_samples(apply_fn, variables, batch, key, n_steps=25, method=method)
         fast_m = np.asarray(fast)[..., 0][m]
         diff = np.abs(fast_m - ref_m)

@@ -187,6 +187,27 @@ def test_bucket_batcher_tail_exact():
     assert len(bb2) == sum(1 for _ in bb2)
 
 
+def test_bucket_batcher_hybrid_quantum():
+    """fine_quantum/fine_above pad long events at the finer quantum while
+    short events keep the coarse one; every event still lands in the
+    smallest bucket that fits it and coverage is exact."""
+    counts = np.array([100, 600, 3050, 3100, 4700, 5000])
+    bb = BucketBatcher(
+        counts, quantum=512, fine_quantum=256, fine_above=3072,
+        cost_budget=4096 * 4096 * 16, max_batch_size=64,
+        shuffle=False, tail_shrink="exact",
+    )
+    pads = {b.pad_n for b in bb.buckets}
+    # 100,600,3050 coarse -> 512,1024,3072; 3100,4700,5000 fine -> 3328,4864,5120
+    assert pads == {512, 1024, 3072, 3328, 4864, 5120}
+    seen = []
+    for idxs, bucket in bb:
+        real = idxs[idxs >= 0]
+        assert np.all(counts[real] <= bucket.pad_n)
+        seen.extend(real.tolist())
+    assert sorted(seen) == list(range(len(counts)))
+
+
 def test_collate_edge_mask_all2all_and_predefined():
     from superresolutionhep_tpu.data.sr_dataset import SupResEvent, collate
 
