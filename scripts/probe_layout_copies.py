@@ -33,6 +33,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from superresolutionhep_tpu.utils import hostmem
+from superresolutionhep_tpu.tools.flops import sampler_evals
 
 hostmem.ensure_tuned()
 
@@ -94,7 +95,9 @@ def main():
 
     rng = np.random.default_rng(0)
     results = {"device": str(jax.devices()[0]), "shapes": {}}
-    n_evals = (N_STEPS + 1) * N_ENSEMBLE  # ab2: heun bootstrap 2 evals + T-2
+    # ab2 costs exactly n_steps model evals (heun bootstrap's 2 evals cover
+    # the first 2 grid points; tools/flops.py sampler_evals(25,'ab2')==25)
+    n_evals = sampler_evals(N_STEPS, "ab2") * N_ENSEMBLE
 
     for B, L in SHAPES:
         skey = f"{B}x{L}"

@@ -92,6 +92,23 @@ class BucketBatcher:
         fine_quantum: int | None = None,
         fine_above: int = 0,
     ):
+        # env vars and YAML both arrive as strings: normalize/validate so
+        # BENCH_TAIL=0 / "off" / "false" can't silently mean pow2 halving
+        allowed = {False: False, True: "pow2", "pow2": "pow2", "exact": "exact",
+                   "false": False, "off": False, "0": False, "none": False,
+                   "true": "pow2", "1": "pow2"}
+        key = tail_shrink.strip().lower() if isinstance(tail_shrink, str) else bool(tail_shrink)
+        if key not in allowed:
+            raise ValueError(
+                f"tail_shrink={tail_shrink!r} not in {{False, True, 'pow2', 'exact'}}"
+            )
+        tail_shrink = allowed[key]
+        # the flash kernel requires sequence lengths that are multiples of
+        # its 128-lane block; a non-conforming fine quantum would build
+        # bucket shapes the kernel rejects at dispatch time (the coarse
+        # quantum is not gated here: CPU/einsum configs legitimately use 64)
+        if fine_quantum is not None and fine_quantum % 128 != 0:
+            raise ValueError(f"fine_quantum={fine_quantum} must be a multiple of 128")
         self.counts = np.asarray(counts, np.int64)
         self.buckets = make_buckets(
             self.counts, quantum, cost_budget, max_batch_size,

@@ -187,6 +187,29 @@ def test_bucket_batcher_tail_exact():
     assert len(bb2) == sum(1 for _ in bb2)
 
 
+def test_bucket_batcher_option_validation():
+    """String knobs (env vars, YAML) are normalized: 'off'/'0'/'false' disable
+    tail shrink instead of silently enabling pow2 mode; unknown strings and
+    non-128-multiple fine quanta raise."""
+    import pytest
+
+    counts = np.full(18, 300)
+    for off in ("off", "0", "false", False, "none"):
+        bb = BucketBatcher(counts, quantum=128, max_batch_size=64,
+                           shuffle=False, tail_shrink=off)
+        (idxs, bucket), = list(bb)
+        assert bucket.batch_size == 64  # no shrink: full filler batch
+    for pow2 in (True, "true", "1", "pow2"):
+        bb = BucketBatcher(counts, quantum=128, max_batch_size=64,
+                           shuffle=False, tail_shrink=pow2)
+        (idxs, bucket), = list(bb)
+        assert bucket.batch_size == 32  # pow2 halving
+    with pytest.raises(ValueError):
+        BucketBatcher(counts, quantum=128, tail_shrink="exactly")
+    with pytest.raises(ValueError):
+        BucketBatcher(counts, quantum=512, fine_quantum=200, fine_above=0)
+
+
 def test_bucket_batcher_hybrid_quantum():
     """fine_quantum/fine_above pad long events at the finer quantum while
     short events keep the coarse one; every event still lands in the
