@@ -389,12 +389,18 @@ def main():
     # secondary metrics: skipped in degraded CPU mode (each would take
     # longer than the whole degraded headline run)
     pf_events_per_sec = None
+    pf_train_metrics = None
     train_metrics = None
     if not degraded:
         try:
             pf_events_per_sec = _pf_bench(jax, jnp, np, repo)
         except Exception as e:  # secondary metric never blocks the headline
             print(json.dumps({"pf_bench_error": str(e)[:200]}), file=sys.stderr)
+
+        try:
+            pf_train_metrics = _pf_train_bench(jax, jnp, np, repo)
+        except Exception as e:
+            print(json.dumps({"pf_train_bench_error": str(e)[:200]}), file=sys.stderr)
 
         # secondary metric: SR training step throughput at multipart scale
         try:
@@ -404,6 +410,14 @@ def main():
                 # (SURVEY §6); 3584 = next flash-block-divisible pad
                 _train_bench(jax, jnp, np, config_mv, B=6, N=3584),
             ]
+            # BENCH_TRAIN_VARIANTS=1: fused-prologue-ON and no-remat legs
+            # (training-lever measurements, BASELINE.md round-5)
+            if os.environ.get("BENCH_TRAIN_VARIANTS", "0") != "0":
+                train_metrics += [
+                    _train_bench(jax, jnp, np, config_mv, B=8, N=2048, fused=True),
+                    _train_bench(jax, jnp, np, config_mv, B=8, N=2048, remat=False),
+                    _train_bench(jax, jnp, np, config_mv, B=6, N=3584, fused=True),
+                ]
         except Exception as e:
             print(json.dumps({"train_bench_error": str(e)[:200]}), file=sys.stderr)
 
@@ -454,6 +468,7 @@ def main():
                     ),
                     "per_batch": per_batch,
                     "pf_inference_events_per_sec": pf_events_per_sec,
+                    "pf_train": pf_train_metrics,
                     "sr_train": train_metrics,
                 }
             }
@@ -462,17 +477,22 @@ def main():
     )
 
 
-def _train_bench(jax, jnp, np, config_mv, B=8, N=2048, n_rep=8):
+def _train_bench(jax, jnp, np, config_mv, B=8, N=2048, n_rep=8,
+                 fused=False, remat=True):
     """SR training-step throughput (fwd+bwd+AdamW) at multipart scale,
-    bf16 compute with per-layer rematerialisation."""
+    bf16 compute with per-layer rematerialisation; reports executed-flop
+    MFU (tools/flops.py::train_step_flops — remat recomputes are real chip
+    work) beside the hardware-independent useful-flop rate."""
     import tempfile
     import time
+
+    from superresolutionhep_tpu.tools.flops import train_step_flops
 
     from superresolutionhep_tpu.train.sr_trainer import SRTrainer
 
     cfg_t = {
         "num_epochs": 1, "learningrate": 1e-3, "lr_scheduler": None,
-        "remat": True, "bucket_quantum": N,
+        "remat": remat, "bucket_quantum": N, "fused_prologue": fused,
     }
     with tempfile.TemporaryDirectory() as td:
         trainer = SRTrainer(config_mv, cfg_t, run_dir=td, dtype=jnp.bfloat16)
@@ -501,6 +521,74 @@ def _train_bench(jax, jnp, np, config_mv, B=8, N=2048, n_rep=8):
         for i in range(n_rep):
             p, o, stats = trainer._train_step(p, o, batch, jax.random.fold_in(key, i), lr)
         sync(stats)
+        dt = (time.time() - t0) / n_rep
+        tf = train_step_flops(trainer.state.params, config_mv, B, N, remat=remat)
+        return {
+            "steps_per_sec": round(1.0 / dt, 2),
+            "events_per_sec": round(B / dt, 1),
+            "batch": [B, N],
+            "fused_prologue": fused,
+            "remat": remat,
+            "train_tfs_executed": round(tf["total"] / dt / 1e12, 1),
+            "train_tfs_useful": round(tf["total_useful"] / dt / 1e12, 1),
+            "train_mfu": round(tf["total"] / dt / 1e12 / MEASURED_CHIP_TFS, 3),
+            "train_mfu_useful": round(
+                tf["total_useful"] / dt / 1e12 / MEASURED_CHIP_TFS, 3
+            ),
+        }
+
+
+def _pf_train_bench(jax, jnp, np, repo, B=25, N=2048, n_rep=8):
+    """Stage-2 training-step throughput: SAPF fwd+bwd + on-device Hungarian
+    matching inside the loss + global-norm clip (1.0) + AdamW, at the
+    reference PF packer scale (pflow/configs/train.yml: n_sq_sum 2138^2*25
+    -> ~(25, 2048) is the dominant bucket shape).  Reference analog: the
+    manual-optimization step /root/reference/pflow/lightning_pf.py:162-180
+    (which pays a device->host sync + scipy loop per batch for matching)."""
+    import tempfile
+    import time
+
+    import yaml
+
+    from superresolutionhep_tpu.train.pf_trainer import PFTrainer
+
+    with open(os.path.join(repo, "configs", "pflow", "model_and_var.yml")) as fp:
+        cfg_mv = yaml.safe_load(fp)
+    P = int(cfg_mv["pf_model"]["max_particles"])
+    cfg_t = {
+        "num_epochs": 1, "learningrate": 1e-3, "lr_scheduler": None,
+        "loss_on_inc_wts": True, "card_loss_weight": 0.5,
+        "grad_clip_norm": 1.0, "bucket_quantum": N,
+    }
+    with tempfile.TemporaryDirectory() as td:
+        trainer = PFTrainer(cfg_mv, cfg_t, run_dir=td)
+        rng = np.random.default_rng(0)
+        z = lambda *s: rng.normal(size=s).astype(np.float32)  # noqa: E731
+        inc = np.abs(z(B, N, P)) + 1e-3
+        inc = inc / inc.sum(-1, keepdims=True)
+        host = {
+            "cell_e": z(B, N), "cell_eta": z(B, N), "cell_phi": z(B, N),
+            "cell_cosphi": z(B, N), "cell_sinphi": z(B, N),
+            "cell_e_raw": np.abs(z(B, N)) * 20, "cell_eta_raw": z(B, N),
+            "cell_layer": rng.integers(0, 3, (B, N)).astype(np.int32),
+            "cell_mask": np.ones((B, N), bool),
+            "part_pt": z(B, P), "part_eta": z(B, P), "part_phi": z(B, P),
+            "part_dep_e": np.abs(z(B, P)) * 10,
+            "part_mask": np.ones((B, P), bool),
+            "cardinality": np.full((B,), P, np.int32),
+            "incidence_matrix": inc.astype(np.float32),
+        }
+        batch = trainer._device_batch(host)
+        lr = jnp.asarray(1e-3, jnp.float32)
+        p, o = trainer.state.params, trainer.state.opt_state
+        key = jax.random.PRNGKey(0)
+        for _ in range(2):  # compile + first-exec stall
+            p, o, logs = trainer._train_step(p, o, batch, key, lr)
+            float(logs["loss"])
+        t0 = time.time()
+        for i in range(n_rep):
+            p, o, logs = trainer._train_step(p, o, batch, jax.random.fold_in(key, i), lr)
+        float(logs["loss"])
         dt = (time.time() - t0) / n_rep
         return {
             "steps_per_sec": round(1.0 / dt, 2),

@@ -157,6 +157,58 @@ def flow_model_flops_packed(
     }
 
 
+def train_step_flops(
+    params: Dict[str, Any],
+    config_mv: dict,
+    B: int,
+    N: int,
+    n_valid: Optional[Sequence[int]] = None,
+    remat: bool = True,
+) -> Dict[str, float]:
+    """Matmul FLOPs of ONE fwd+bwd training step (AdamW update excluded —
+    elementwise, consistent with this module's forward policy).
+
+    Exact matmul counts for the production path (per DiT layer, in units of
+    one attention matmul ``2*B*N^2*h_dim``):
+
+      * attention forward: 2 (QK^T, PV — ops/flash_attention.py:165,175);
+      * attention backward: 7 — the dq kernel recomputes S then forms dP and
+        dQ (flash_attention.py:350-363, 3 matmuls); the dkv kernel recomputes
+        S then forms dV, dP, dK (flash_attention.py:399-413, 4 matmuls);
+      * per-layer remat (nn.remat(DiTLayer), models/dit.py:234) re-runs the
+        whole layer forward inside the backward: +2 attention matmuls.
+
+      -> executed attention multiplier vs forward: 11/2 = 5.5 with remat,
+         9/2 = 4.5 without.
+
+    Dense kernels: forward 1 matmul; backward dX = dY W^T and dW = X^T dY
+    (2); remat recompute +1 -> 4x with remat, 3x without.  (Kernels outside
+    the remat'd layers — embedders, final projection — execute 3x even with
+    remat; they are a few % of linear FLOPs, counted at the layer multiplier
+    for simplicity.)
+
+    ``*_useful`` entries apply the standard no-recompute accounting (3x both
+    classes) for hardware-independent comparisons; headline train MFU should
+    use the executed (padded) count — the chip really runs the recomputes.
+    """
+    f = flow_model_flops(params, config_mv, B, N, n_valid)
+    lin_mult = 4.0 if remat else 3.0
+    attn_mult = 5.5 if remat else 4.5
+    out = {
+        "linear": f["linear"] * lin_mult,
+        "attention": f["attention"] * attn_mult,
+        "linear_useful": f["linear"] * 3.0,
+        "attention_useful": f["attention"] * 3.0,
+    }
+    out["total"] = out["linear"] + out["attention"]
+    out["total_useful"] = out["linear_useful"] + out["attention_useful"]
+    if n_valid is not None:
+        out["linear_masked"] = f["linear_masked"] * lin_mult
+        out["attention_masked"] = f["attention_masked"] * attn_mult
+        out["total_masked"] = out["linear_masked"] + out["attention_masked"]
+    return out
+
+
 def sampler_evals(n_steps: int, method: str) -> int:
     """Model evaluations of one sampler run over a linspace(0,1,n_steps) grid.
 

@@ -105,3 +105,33 @@ def test_packed_counter_consistent_with_bucketed():
     assert fp["linear_masked"] > 0.95 * fb["linear_masked"]
     assert fp["linear_masked"] < 1.25 * fb["linear_masked"]
     assert fp["total_masked"] == fp["linear_masked"] + fp["attention_masked"]
+
+
+def test_train_step_flops_vs_xla_grad():
+    """The no-recompute ("useful", 3x fwd) train-step count must match XLA's
+    cost analysis of value_and_grad on the einsum path (whose attention
+    backward is exactly the 4 needed matmuls); the executed counts add the
+    Pallas backward's S recomputes and the per-layer remat re-runs on top."""
+    B, N = 2, 128
+    cfg, model, batch, params = _setup(B, N)
+    from superresolutionhep_tpu.tools.flops import train_step_flops
+
+    def loss(p, b, x, t):
+        return jnp.sum(model.apply(p, b, x, t) ** 2)
+
+    ca = (
+        jax.jit(jax.value_and_grad(loss))
+        .lower(params, batch, jnp.zeros((B, N, 1)), jnp.zeros((B,)))
+        .compile()
+        .cost_analysis()
+    )
+    xla = float(ca.get("flops", 0.0))
+    assert xla > 0
+    tf = train_step_flops(params, cfg, B, N, remat=False)
+    assert 0.93 * xla <= tf["total_useful"] <= 1.001 * xla
+    # executed counts are strictly ordered: useful < no-remat < remat
+    tfr = train_step_flops(params, cfg, B, N, remat=True)
+    assert tf["total_useful"] < tf["total"] < tfr["total"]
+    # masked variant discounts padding
+    tm = train_step_flops(params, cfg, B, N, n_valid=[100, 60], remat=True)
+    assert tm["total_masked"] < tm["total"]
