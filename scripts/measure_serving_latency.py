@@ -134,7 +134,10 @@ def main():
 
     server = SRServer(inf_cfg, params=params)
     t0 = time.time()
-    server.warmup()
+    # single-row shapes for the whole latency table; multi-row (cross-request
+    # batching) shapes only for the concurrent leg's bucket to bound warmup
+    server.warmup(batch_sizes=(1,))
+    server.warmup(batch_sizes=[r for r in server.row_sizes if r > 1], buckets=(2048,))
     warmup_s = time.time() - t0
 
     table = {"warmup_s": round(warmup_s, 1), "buckets": {}}
@@ -161,12 +164,15 @@ def main():
     done = []
     lock = threading.Lock()
 
+    batched_with = []
+
     def client(n_calls):
         for _ in range(n_calls):
             t0 = time.time()
-            server.predict_event(ev)
+            out = server.predict_event(ev)
             with lock:
                 done.append((time.time() - t0) * 1e3)
+                batched_with.append(out.get("batched_with", 1))
 
     t0 = time.time()
     threads = [threading.Thread(target=client, args=(args.reps,)) for _ in range(args.concurrency)]
@@ -180,6 +186,9 @@ def main():
         "events_per_sec": round(n_req / dt, 2),
         "p50_ms": round(float(np.percentile(done, 50)), 1),
         "p95_ms": round(float(np.percentile(done, 95)), 1),
+        "mean_batched_with": round(float(np.mean(batched_with)), 2),
+        "max_batch": server.max_batch,
+        "batch_window_ms": server.batch_window_ms,
     }
     print(json.dumps(table, indent=2))
     out_path = os.path.join(repo, "docs", "serving_latency.json")

@@ -15,6 +15,17 @@ No external dependencies: stdlib http.server; requests serialize through a
 device lock (one chip, one stream).  Throughput scaling is horizontal —
 run one server per chip and shard upstream, exactly like the chunked
 batch fan-out.
+
+Cross-request batching (round 5): concurrent requests that land in the same
+bucket within a short window are collated into ONE ensemble-sampler call —
+the online analog of the reference's batch-500 offline amortization
+(/root/reference/configs/single_e/inference.yml:5).  A single device worker
+drains a queue; a request entering alone runs immediately at B=1 (no added
+single-stream latency — the window is only waited out when other requests
+are actually in flight), while N concurrent clients share one program at
+the next power-of-two row count (precompiled at warmup).  Measured round 4
+(pre-batching): 4 clients serialized at ~1x single-stream throughput with
+~4x per-request p50.
 """
 
 from __future__ import annotations
@@ -76,14 +87,50 @@ def _event_to_file(event: dict, path: str):
     root_io.write_trees(path, {"Low_Tree": low, "High_Tree": high})
 
 
+class _WorkItem:
+    """One queued request: preprocessed event + a completion signal."""
+
+    __slots__ = ("ev", "n", "bucket", "done", "result", "error")
+
+    def __init__(self, ev, n: int, bucket: int):
+        self.ev = ev
+        self.n = n
+        self.bucket = bucket
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class SRServer:
-    def __init__(self, inf_cfg: dict, buckets=DEFAULT_BUCKETS, params=None):
+    def __init__(self, inf_cfg: dict, buckets=DEFAULT_BUCKETS, params=None,
+                 max_batch: int | None = None, batch_window_ms: float | None = None):
         self.inf = SRInference(inf_cfg, params=params)
         self.n_ensemble = int(inf_cfg.get("n_ensemble", 10))
         self.method = inf_cfg.get("ode_method", "ab2e")
         self.buckets = sorted(buckets)
         self._lock = threading.Lock()
         self._key_counter = 0
+        # cross-request batching: requests in the same bucket arriving within
+        # the window share one compiled program at the next pow2 row count
+        self.max_batch = int(
+            inf_cfg.get("max_batch", 4) if max_batch is None else max_batch
+        )
+        self.batch_window_ms = float(
+            inf_cfg.get("batch_window_ms", 10.0)
+            if batch_window_ms is None
+            else batch_window_ms
+        )
+        self.row_sizes = []
+        b = 1
+        while b < self.max_batch:
+            self.row_sizes.append(b)
+            b *= 2
+        self.row_sizes.append(self.max_batch)
+        self._cond = threading.Condition()
+        self._queue: list[_WorkItem] = []
+        self._preprocessing = 0  # requests past entry, not yet enqueued
+        self._worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self._worker.start()
 
     # ------------------------------------------------------------------
     def _bucket(self, n: int) -> int:
@@ -92,22 +139,85 @@ class SRServer:
                 return b
         raise EventTooLargeError(n, self.buckets[-1])
 
+    def _row_size(self, n_rows: int) -> int:
+        for r in self.row_sizes:
+            if n_rows <= r:
+                return r
+        return self.max_batch
+
     def predict_event(self, event: dict) -> dict:
+        """Synchronous request path: preprocess in the caller's thread
+        (overlaps across concurrent clients), enqueue, wait for the device
+        worker to run it — alone or batched with concurrent requests."""
+        with self._cond:
+            self._preprocessing += 1
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                path = os.path.join(td, "event.h5")
+                _event_to_file(event, path)
+                ds = SupResEvents(
+                    path, self.inf.config_mv, make_low=False, make_particles=False
+                )
+                ev = ds.get_event(0)
+            n = len(ev.high["e_proxy"])
+            item = _WorkItem(ev, n, self._bucket(n))
+        finally:
+            with self._cond:
+                self._preprocessing -= 1
+        with self._cond:
+            self._queue.append(item)
+            self._cond.notify_all()
+        item.done.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    # ------------------------------------------------------------------
+    def _worker_loop(self):
+        while True:
+            with self._cond:
+                while not self._queue:
+                    self._cond.wait()
+                bucket = self._queue[0].bucket
+                deadline = time.time() + self.batch_window_ms / 1e3
+                while True:
+                    group = [it for it in self._queue if it.bucket == bucket]
+                    group = group[: self.max_batch]
+                    if len(group) >= self.max_batch:
+                        break
+                    # wait out the window ONLY while other requests are still
+                    # preprocessing (they will enqueue within ~window) — a
+                    # lone request runs immediately at B=1
+                    if self._preprocessing <= 0 and len(group) == len(self._queue):
+                        break
+                    remaining = deadline - time.time()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=min(remaining, 0.002))
+                group = [it for it in self._queue if it.bucket == bucket][: self.max_batch]
+                for it in group:
+                    self._queue.remove(it)
+            try:
+                self._run_group(group)
+            except Exception as e:  # surface to every waiting caller
+                for it in group:
+                    it.error = e
+                    it.done.set()
+
+    def _run_group(self, group: list[_WorkItem]):
         import jax
         import jax.numpy as jnp
 
-        with tempfile.TemporaryDirectory() as td:
-            path = os.path.join(td, "event.h5")
-            _event_to_file(event, path)
-            ds = SupResEvents(path, self.inf.config_mv, make_low=False, make_particles=False)
-            ev = ds.get_event(0)
-        n = len(ev.high["e_proxy"])
-        pad = self._bucket(n)
-        hb = collate([ev], pad)
-        # EXACTLY the model key set — a superset would change the traced
-        # pytree structure and silently recompile per request
         from ..data.sr_dataset import MODEL_BATCH_KEYS
 
+        pad = group[0].bucket
+        b_exec = self._row_size(len(group))
+        # filler rows (duplicates of the first event) bring the row count to
+        # a precompiled size; their outputs are discarded
+        evs = [it.ev for it in group] + [group[0].ev] * (b_exec - len(group))
+        hb = collate(evs, pad)
+        # EXACTLY the model key set — a superset would change the traced
+        # pytree structure and silently recompile per request
         batch = {k: jnp.asarray(hb[k]) for k in MODEL_BATCH_KEYS}
         with self._lock:
             self._key_counter += 1
@@ -123,48 +233,63 @@ class SRServer:
             )
             out = np.asarray(out[:, -1])  # (E, B, N, 1) final state
             device_ms = (time.time() - t0) * 1e3
-        proxy_raw = np.asarray(ev.high["e_proxy_raw"])
-        avg = out[:, 0, :n, 0]
-        e_pred = np.asarray(
-            self.inf.target_transform.inverse(avg, proxy_raw[None, :])
-        ).mean(0) * 1e3  # unscale-then-avg, GeV -> MeV
-        return {
-            "n_cells": int(n),
-            "bucket": int(pad),
-            "e_pred_raw": e_pred.astype(float).tolist(),
-            "eta": np.asarray(ev.high["eta_raw"]).astype(float).tolist(),
-            "phi": np.asarray(ev.high["phi"]).astype(float).tolist(),
-            "layer": np.asarray(ev.high["layer"]).astype(int).tolist(),
-            "device_ms": round(device_ms, 2),
-        }
+        for i, it in enumerate(group):
+            ev, n = it.ev, it.n
+            proxy_raw = np.asarray(ev.high["e_proxy_raw"])
+            avg = out[:, i, :n, 0]
+            e_pred = np.asarray(
+                self.inf.target_transform.inverse(avg, proxy_raw[None, :])
+            ).mean(0) * 1e3  # unscale-then-avg, GeV -> MeV
+            it.result = {
+                "n_cells": int(n),
+                "bucket": int(pad),
+                "e_pred_raw": e_pred.astype(float).tolist(),
+                "eta": np.asarray(ev.high["eta_raw"]).astype(float).tolist(),
+                "phi": np.asarray(ev.high["phi"]).astype(float).tolist(),
+                "layer": np.asarray(ev.high["layer"]).astype(int).tolist(),
+                "device_ms": round(device_ms, 2),
+                "batched_with": len(group),
+            }
+            it.done.set()
 
-    def warmup(self):
-        """Compile every bucket shape once with a dummy event."""
+    def warmup(self, batch_sizes=None, buckets=None):
+        """Compile every (bucket, row-count) shape once with a dummy event.
+
+        ``batch_sizes`` defaults to the full pow2 ladder up to ``max_batch``;
+        pass ``(1,)`` to restore the round-4 single-row warmup cost.
+        ``buckets`` restricts the warmed set (e.g. warm the multi-row shapes
+        only for the bucket a concurrent deployment actually serves)."""
         import jax
         import jax.numpy as jnp
 
         from ..data.sr_dataset import MODEL_BATCH_KEYS
 
-        for b in self.buckets:
-            full = {
-                "eta": jnp.zeros((1, b, 1)), "cosphi": jnp.ones((1, b, 1)),
-                "sinphi": jnp.zeros((1, b, 1)), "layer": jnp.zeros((1, b, 1), jnp.int32),
-                "e_proxy": jnp.zeros((1, b, 1)), "q_mask": jnp.ones((1, b), bool),
-                "target": jnp.zeros((1, b, 1)),
-            }
-            batch = {k: full[k] for k in MODEL_BATCH_KEYS}
-            # NOTE: warmup only compiles — the no-max saturation gate must
-            # run on REAL shower data (an all-zeros dummy has trivially
-            # in-bound logits and would rubber-stamp the fast kernel), so
-            # _nomax_validated is left unset for the first real request
-            t0 = time.time()
-            out = self.inf._jitted(
-                batch, jax.random.PRNGKey(0), n_ensemble=self.n_ensemble,
-                n_steps=self.inf.n_steps, method=self.method,
-                fast=self.inf.fast_softmax,
-            )
-            float(np.asarray(out).sum())
-            print(f"[serve] warmed bucket {b}: {time.time() - t0:.1f}s", flush=True)
+        sizes = list(batch_sizes) if batch_sizes is not None else list(self.row_sizes)
+        for b in (self.buckets if buckets is None else sorted(buckets)):
+            for rows in sizes:
+                full = {
+                    "eta": jnp.zeros((rows, b, 1)), "cosphi": jnp.ones((rows, b, 1)),
+                    "sinphi": jnp.zeros((rows, b, 1)),
+                    "layer": jnp.zeros((rows, b, 1), jnp.int32),
+                    "e_proxy": jnp.zeros((rows, b, 1)), "q_mask": jnp.ones((rows, b), bool),
+                    "target": jnp.zeros((rows, b, 1)),
+                }
+                batch = {k: full[k] for k in MODEL_BATCH_KEYS}
+                # NOTE: warmup only compiles — the no-max saturation gate must
+                # run on REAL shower data (an all-zeros dummy has trivially
+                # in-bound logits and would rubber-stamp the fast kernel), so
+                # _nomax_validated is left unset for the first real request
+                t0 = time.time()
+                out = self.inf._jitted(
+                    batch, jax.random.PRNGKey(0), n_ensemble=self.n_ensemble,
+                    n_steps=self.inf.n_steps, method=self.method,
+                    fast=self.inf.fast_softmax,
+                )
+                float(np.asarray(out).sum())
+                print(
+                    f"[serve] warmed bucket {b} x {rows} rows: {time.time() - t0:.1f}s",
+                    flush=True,
+                )
 
     # ------------------------------------------------------------------
     def serve(self, host="127.0.0.1", port=8310):

@@ -209,3 +209,42 @@ def test_latency_script_event_contract(server):
     assert out["bucket"] == 256
     assert len(out["e_pred_raw"]) == n_hr
     assert np.isfinite(out["e_pred_raw"]).all()
+
+
+def test_concurrent_requests_batch_together(server):
+    """4 threads issuing same-bucket requests share one compiled program:
+    every result is well-formed, per-row outputs are split correctly (each
+    row's n_cells matches its own event), and at least one response reports
+    batched_with > 1.  Single-stream requests keep batched_with == 1."""
+    srv, truth = server
+    evs = [_event_from_file(truth, i % 2) for i in range(4)]
+
+    solo = srv.predict_event(evs[0])
+    assert solo["batched_with"] == 1
+
+    results = [None] * 4
+    errors = []
+
+    def client(i):
+        try:
+            results[i] = srv.predict_event(evs[i])
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    import threading as th
+    threads = [th.Thread(target=client, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors
+    assert all(r is not None for r in results)
+    for i, r in enumerate(results):
+        n_expected = len(evs[i]["high"]["cell_eta"])
+        # ECAL cut may drop cells; n_cells must match THIS event's own solo
+        # prediction, proving rows were not swapped between requests
+        solo_i = srv.predict_event(evs[i])
+        assert r["n_cells"] == solo_i["n_cells"]
+        assert len(r["e_pred_raw"]) == r["n_cells"] <= n_expected
+        np.testing.assert_allclose(r["eta"], solo_i["eta"])
+    assert max(r["batched_with"] for r in results) > 1
