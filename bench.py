@@ -386,6 +386,25 @@ def main():
     # settings — a CPU/16-event ratio against it is meaningless, null it
     vs = (events_per_sec / base) if (base and not degraded) else None
 
+    # TPU-numerics golden (scripts/make_tpu_golden.py): pins the production
+    # flash_nomax + fused-prologue bf16 sampler against a frozen fixture —
+    # the committed test goldens pin CPU float32 einsum only
+    tpu_golden = None
+    if not degraded and os.environ.get("BENCH_TPU_GOLDEN", "1") != "0":
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "make_tpu_golden", os.path.join(repo, "scripts", "make_tpu_golden.py")
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            tpu_golden = mod.check(verbose=False)
+            print(json.dumps({"tpu_golden": tpu_golden}), file=sys.stderr)
+        except Exception as e:
+            tpu_golden = {"ok": None, "reason": f"{type(e).__name__}: {e}"[:200]}
+            print(json.dumps({"tpu_golden": tpu_golden}), file=sys.stderr)
+
     # secondary metrics: skipped in degraded CPU mode (each would take
     # longer than the whole degraded headline run)
     pf_events_per_sec = None
@@ -467,6 +486,7 @@ def main():
                         else [(int(b.pad_n), int(b.batch_size)) for b in batcher.buckets]
                     ),
                     "per_batch": per_batch,
+                    "tpu_golden": tpu_golden,
                     "pf_inference_events_per_sec": pf_events_per_sec,
                     "pf_train": pf_train_metrics,
                     "sr_train": train_metrics,
