@@ -95,6 +95,10 @@ class SupResEvents:
             high_branches += ["particle_to_node_idx", "particle_to_node_weight"]
         self.high_tree = root_io.read_tree(filename, "High_Tree", high_branches, entry_start, entry_stop)
 
+        self._finish_setup()
+
+    def _finish_setup(self):
+        config_mv, n = self.config_mv, self.n_events
         self.var_transforms = build_var_transforms(config_mv["var_transform"])
         self.target_transform = TargetTransform.from_config(config_mv["target_transform"])
         # template for the per-event conditional energy transform (stats refit
@@ -108,6 +112,24 @@ class SupResEvents:
         self.cell_count_low = [
             int((self.low_tree["cell_layer"][i] < N_ECAL_LAYERS).sum()) for i in range(n)
         ]
+
+    @classmethod
+    def from_trees(cls, low_tree, high_tree, config_mv, make_low=False, make_particles=False):
+        """In-memory constructor: the trees are dicts of per-event arrays
+        under the same branch names ``root_io.read_tree`` returns.  The
+        online-serving fast path — skips the request's HDF5 round-trip
+        (measured ~55-90 ms/event of host overhead, BASELINE.md round-4)."""
+        self = cls.__new__(cls)
+        self.config_mv = config_mv
+        self.res_factor = int(config_mv["res_factor"])
+        self.make_low = make_low
+        self.make_particles = make_particles
+        self.one_event_train = False
+        self.one_event_idx = 0
+        self.low_tree, self.high_tree = low_tree, high_tree
+        self.n_events = len(low_tree["cell_eta"])
+        self._finish_setup()
+        return self
 
     def __len__(self):
         return self.n_events

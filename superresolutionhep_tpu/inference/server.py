@@ -64,6 +64,24 @@ class EventTooLargeError(ValueError):
         self.max_cells = max_cells
 
 
+def _event_to_trees(event: dict):
+    """Build in-memory Low/High tree dicts for ``SupResEvents.from_trees``
+    (same schema as ``_event_to_file`` minus the HDF5 round-trip; truth
+    energies zero-filled — unknown at serving time)."""
+    low = {k: [np.asarray(event["low"][k])] for k in LOW_KEYS}
+    low["high_cell_to_low_cell_edge"] = [
+        np.asarray(event["low"]["high_cell_to_low_cell_edge"], np.int64)
+    ]
+    n_high = len(event["high"]["cell_eta"])
+    high = {}
+    for k in LOW_KEYS:
+        vals = event["high"].get(k)
+        if vals is None and k == "cell_e":
+            vals = np.zeros(n_high, np.float32)
+        high[k] = [np.asarray(vals)]
+    return low, high
+
+
 def _event_to_file(event: dict, path: str):
     """Write a single request event into the standard two-tree container the
     preprocessing pipeline reads (truth-energy branches zero-filled)."""
@@ -152,13 +170,11 @@ class SRServer:
         with self._cond:
             self._preprocessing += 1
         try:
-            with tempfile.TemporaryDirectory() as td:
-                path = os.path.join(td, "event.h5")
-                _event_to_file(event, path)
-                ds = SupResEvents(
-                    path, self.inf.config_mv, make_low=False, make_particles=False
-                )
-                ev = ds.get_event(0)
+            low, high = _event_to_trees(event)
+            ds = SupResEvents.from_trees(
+                low, high, self.inf.config_mv, make_low=False, make_particles=False
+            )
+            ev = ds.get_event(0)
             n = len(ev.high["e_proxy"])
             item = _WorkItem(ev, n, self._bucket(n))
         finally:
