@@ -207,6 +207,10 @@ def main():
         # filler row (7.4% of executed attention flops vs "pow2" on this
         # event set — see data/bucketing.py)
         tail_shrink=os.environ.get("BENCH_TAIL", "exact"),
+        # BENCH_MERGE_TAILS=k: move <=k-event bucket tails into the next
+        # bucket up — tiny batches are dispatch-bound (~0.1-0.9 s each for
+        # 1-2 events; see data/bucketing.py merge_tail_up)
+        merge_tail_up=int(os.environ.get("BENCH_MERGE_TAILS", "0")),
     )
 
     # BENCH_PACKED=1: segment-packed batches — ONE compiled shape for the

@@ -91,6 +91,7 @@ class BucketBatcher:
         tail_shrink: bool | str = False,
         fine_quantum: int | None = None,
         fine_above: int = 0,
+        merge_tail_up: int = 0,
     ):
         # env vars and YAML both arrive as strings: normalize/validate so
         # BENCH_TAIL=0 / "off" / "false" can't silently mean pow2 halving
@@ -135,18 +136,36 @@ class BucketBatcher:
         #     constraint (leading dim), so odd sizes run at full rate.
         self.tail_shrink = tail_shrink
         self.batch_multiple_of = max(1, batch_multiple_of)
+        # merge a bucket's underfilled tail UP into the next-larger bucket
+        # when it holds <= merge_tail_up events: a 1-2 event batch pays ~26
+        # sequential sampler evals of dispatch-bound device time for almost
+        # no useful work (measured ~0.1-0.9 s each, BASELINE.md round-5
+        # 256-quantum sweep: 9 such batches = ~2.5 s of the 64 s wall); the
+        # moved events fit the larger pad by construction and the extra
+        # cell-padding is cheaper than the fixed per-batch cost.  0 = off.
+        self.merge_tail_up = int(merge_tail_up)
         self._rng = np.random.default_rng(seed)
 
         pad_sizes = np.array([b.pad_n for b in self.buckets])
         # smallest bucket that fits each event
         self.event_bucket = np.searchsorted(pad_sizes, self.counts, side="left")
 
-    def __iter__(self) -> Iterator[tuple[np.ndarray, Bucket]]:
+    def _plan(self, shuffle_events: bool) -> List[tuple[np.ndarray, Bucket]]:
+        pools = []
+        for bi in range(len(self.buckets)):
+            idxs = np.nonzero(self.event_bucket == bi)[0]
+            if shuffle_events:
+                self._rng.shuffle(idxs)
+            pools.append(idxs)
+        if self.merge_tail_up:
+            for bi in range(len(self.buckets) - 1):
+                rem = len(pools[bi]) % self.buckets[bi].batch_size
+                if 0 < rem <= self.merge_tail_up:
+                    pools[bi + 1] = np.concatenate([pools[bi][-rem:], pools[bi + 1]])
+                    pools[bi] = pools[bi][:-rem]
         batches = []
         for bi, bucket in enumerate(self.buckets):
-            idxs = np.nonzero(self.event_bucket == bi)[0]
-            if self.shuffle:
-                self._rng.shuffle(idxs)
+            idxs = pools[bi]
             for s in range(0, len(idxs), bucket.batch_size):
                 chunk = idxs[s : s + bucket.batch_size]
                 if len(chunk) < bucket.batch_size:
@@ -171,12 +190,19 @@ class BucketBatcher:
                     batches.append((chunk, Bucket(bucket.pad_n, bs)))
                     continue
                 batches.append((chunk, bucket))
+        return batches
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, Bucket]]:
+        batches = self._plan(shuffle_events=self.shuffle)
         if self.shuffle:
             order = self._rng.permutation(len(batches))
             batches = [batches[i] for i in order]
         yield from batches
 
     def __len__(self) -> int:
+        if self.merge_tail_up:
+            # batch count depends on the merged pools, not per-bucket counts
+            return len(self._plan(shuffle_events=False))
         n = 0
         for bi, bucket in enumerate(self.buckets):
             cnt = int((self.event_bucket == bi).sum())

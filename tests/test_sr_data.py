@@ -265,3 +265,27 @@ def test_generator_conflicting_regimes_rejected(tmp_path):
                 max_particles=3, collimate_delta_r_lr_cells=1.5, axis_eta=0.35
             ),
         )
+
+
+def test_bucket_batcher_merge_tail_up():
+    """merge_tail_up=k moves <=k-event bucket tails into the next-larger
+    bucket: coverage stays exact, every event still fits its batch's pad,
+    and the tiny tail batches disappear."""
+    # bucket pads 128/256/384; 128-bucket has a 2-event tail, 256 a 1-event
+    counts = np.array([100] * 10 + [200] * 9 + [300] * 4)
+    kw = dict(quantum=128, cost_budget=512 * 512 * 8, max_batch_size=8,
+              shuffle=False, tail_shrink="exact")
+    bb0 = BucketBatcher(counts, **kw)
+    bb = BucketBatcher(counts, merge_tail_up=2, **kw)
+    assert len(bb) < len(bb0)
+    seen, sizes = [], []
+    for idxs, bucket in bb:
+        real = idxs[idxs >= 0]
+        assert np.all(counts[real] <= bucket.pad_n)
+        seen.extend(real.tolist())
+        sizes.append(len(real))
+    assert sorted(seen) == list(range(len(counts)))
+    assert len(bb) == sum(1 for _ in bb)
+    # no batch smaller than the merge threshold except possibly the LAST
+    # bucket's tail (nowhere to merge up)
+    assert all(s > 2 for s in sizes[:-1])
