@@ -19,7 +19,9 @@ import re
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("MPLBACKEND", "Agg")
+# NOTE: do NOT set MPLBACKEND here — it would override ipykernel's
+# matplotlib-inline backend and the executed notebooks would store no
+# figure outputs (the whole point of running them)
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
