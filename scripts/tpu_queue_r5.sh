@@ -54,7 +54,7 @@ pending() {
   return 1
 }
 
-LEGS=(tpu_golden train_bench serving bench_headline)
+LEGS=(tpu_golden train_bench serving bench_headline bench_merge256)
 
 for pass in 1 2 3 4 5 6 7 8; do
   pending "${LEGS[@]}" || break
@@ -63,6 +63,9 @@ for pass in 1 2 3 4 5 6 7 8; do
   leg train_bench 5400 python scripts/measure_train_bench.py
   leg serving 7200 python scripts/measure_serving_latency.py
   leg bench_headline 7200 python bench.py
+  # A/B vs the plain 256-quantum sweep: fold <=3-event bucket tails into the
+  # next bucket up (tiny batches are dispatch-bound, ~0.1-0.9 s each)
+  leg bench_merge256 7200 env BENCH_QUANTUM=256 BENCH_MERGE_TAILS=3 python bench.py
 done
 
 echo "=== queue finished $(date -u +%H:%M:%S) ==="
