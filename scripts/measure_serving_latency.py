@@ -137,7 +137,12 @@ def main():
     # single-row shapes for the whole latency table; multi-row (cross-request
     # batching) shapes only for the concurrent leg's bucket to bound warmup
     server.warmup(batch_sizes=(1,))
-    server.warmup(batch_sizes=[r for r in server.row_sizes if r > 1], buckets=(2048,))
+    # multi-row shapes for BOTH concurrent-leg buckets: 2048 (saturated
+    # regime — batching only amortizes dispatch) and 512 (underfilled
+    # regime — batching is a real throughput multiplier)
+    server.warmup(
+        batch_sizes=[r for r in server.row_sizes if r > 1], buckets=(512, 2048)
+    )
     warmup_s = time.time() - t0
 
     table = {"warmup_s": round(warmup_s, 1), "buckets": {}}
@@ -158,38 +163,47 @@ def main():
         }
         print(n, table["buckets"][str(n)], flush=True)
 
-    # concurrent clients: total throughput at a mid-size event
-    ev = synth_event(1900, seed=7)
-    n_req = args.reps * args.concurrency
-    done = []
-    lock = threading.Lock()
+    # concurrent clients: total throughput in BOTH regimes — a mid-size
+    # event (chip saturated per request; batching only amortizes dispatch)
+    # and a small event (chip underfilled at B=1; batching multiplies
+    # throughput).  Single-stream baseline from the table above.
+    def concurrent_leg(n_cells, seed):
+        ev = synth_event(n_cells, seed=seed)
+        n_req = args.reps * args.concurrency
+        done, batched_with = [], []
+        lock = threading.Lock()
 
-    batched_with = []
+        def client(n_calls):
+            for _ in range(n_calls):
+                t0 = time.time()
+                out = server.predict_event(ev)
+                with lock:
+                    done.append((time.time() - t0) * 1e3)
+                    batched_with.append(out.get("batched_with", 1))
 
-    def client(n_calls):
-        for _ in range(n_calls):
-            t0 = time.time()
-            out = server.predict_event(ev)
-            with lock:
-                done.append((time.time() - t0) * 1e3)
-                batched_with.append(out.get("batched_with", 1))
+        t0 = time.time()
+        threads = [
+            threading.Thread(target=client, args=(args.reps,))
+            for _ in range(args.concurrency)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.time() - t0
+        return {
+            "n_cells": n_cells,
+            "clients": args.concurrency,
+            "events_per_sec": round(n_req / dt, 2),
+            "p50_ms": round(float(np.percentile(done, 50)), 1),
+            "p95_ms": round(float(np.percentile(done, 95)), 1),
+            "mean_batched_with": round(float(np.mean(batched_with)), 2),
+            "max_batch": server.max_batch,
+            "batch_window_ms": server.batch_window_ms,
+        }
 
-    t0 = time.time()
-    threads = [threading.Thread(target=client, args=(args.reps,)) for _ in range(args.concurrency)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.time() - t0
-    table["concurrent"] = {
-        "clients": args.concurrency,
-        "events_per_sec": round(n_req / dt, 2),
-        "p50_ms": round(float(np.percentile(done, 50)), 1),
-        "p95_ms": round(float(np.percentile(done, 95)), 1),
-        "mean_batched_with": round(float(np.mean(batched_with)), 2),
-        "max_batch": server.max_batch,
-        "batch_window_ms": server.batch_window_ms,
-    }
+    table["concurrent"] = concurrent_leg(1900, seed=7)
+    table["concurrent_small"] = concurrent_leg(480, seed=11)
     print(json.dumps(table, indent=2))
     out_path = os.path.join(repo, "docs", "serving_latency.json")
     json.dump(table, open(out_path, "w"), indent=2)

@@ -23,9 +23,13 @@ the online analog of the reference's batch-500 offline amortization
 drains a queue; a request entering alone runs immediately at B=1 (no added
 single-stream latency — the window is only waited out when other requests
 are actually in flight), while N concurrent clients share one program at
-the next power-of-two row count (precompiled at warmup).  Measured round 4
-(pre-batching): 4 clients serialized at ~1x single-stream throughput with
-~4x per-request p50.
+the exact group row count (one compile per row count up to max_batch,
+precompiled at warmup; filler rows would be pure wasted flops on a
+compute-saturated chip).  Measured round 4 (pre-batching): 4 clients
+serialized at ~1x single-stream throughput with ~4x per-request p50.
+Where batching wins is the small-event regime (bucket <=512), where a
+single request underfills the chip; at L>=2048 x 10 ensembles a lone
+request already saturates it and batching only amortizes dispatch.
 """
 
 from __future__ import annotations
@@ -129,7 +133,13 @@ class SRServer:
         self._lock = threading.Lock()
         self._key_counter = 0
         # cross-request batching: requests in the same bucket arriving within
-        # the window share one compiled program at the next pow2 row count
+        # the window share one compiled program at the EXACT group row count.
+        # Exact (not pow2) rows matter: at production ensemble width the chip
+        # is already compute-saturated per request at L>=2048, so any filler
+        # row is pure wasted flops (a 3-request group padded to B=4 executes
+        # 33% extra work — measured as a net concurrency LOSS, BASELINE.md
+        # round-5 serving).  max_batch is small, so one compile per row count
+        # is cheap.
         self.max_batch = int(
             inf_cfg.get("max_batch", 4) if max_batch is None else max_batch
         )
@@ -138,12 +148,15 @@ class SRServer:
             if batch_window_ms is None
             else batch_window_ms
         )
-        self.row_sizes = []
-        b = 1
-        while b < self.max_batch:
-            self.row_sizes.append(b)
-            b *= 2
-        self.row_sizes.append(self.max_batch)
+        self.row_sizes = list(range(1, self.max_batch + 1))
+        # adaptive policy: batch only buckets where a single request
+        # underfills the chip.  At bucket>batch_max_bucket a lone request is
+        # already compute-saturated (ens x L work), so grouping adds window
+        # waits + lockstep completion for zero device win — measured 5.05
+        # ev/s batched vs 6.05 FIFO at 1900 cells (BASELINE.md round-5
+        # serving); below it the sampler is dispatch-latency-bound through
+        # the tunnel and rows ride along nearly free.
+        self.batch_max_bucket = int(inf_cfg.get("batch_max_bucket", 1024))
         self._cond = threading.Condition()
         self._queue: list[_WorkItem] = []
         self._preprocessing = 0  # requests past entry, not yet enqueued
@@ -158,10 +171,7 @@ class SRServer:
         raise EventTooLargeError(n, self.buckets[-1])
 
     def _row_size(self, n_rows: int) -> int:
-        for r in self.row_sizes:
-            if n_rows <= r:
-                return r
-        return self.max_batch
+        return min(n_rows, self.max_batch)
 
     def predict_event(self, event: dict) -> dict:
         """Synchronous request path: preprocess in the caller's thread
@@ -195,24 +205,30 @@ class SRServer:
                 while not self._queue:
                     self._cond.wait()
                 bucket = self._queue[0].bucket
-                deadline = time.time() + self.batch_window_ms / 1e3
-                while True:
-                    group = [it for it in self._queue if it.bucket == bucket]
-                    group = group[: self.max_batch]
-                    if len(group) >= self.max_batch:
-                        break
-                    # wait out the window ONLY while other requests are still
-                    # preprocessing (they will enqueue within ~window) — a
-                    # lone request runs immediately at B=1
-                    if self._preprocessing <= 0 and len(group) == len(self._queue):
-                        break
-                    remaining = deadline - time.time()
-                    if remaining <= 0:
-                        break
-                    self._cond.wait(timeout=min(remaining, 0.002))
-                group = [it for it in self._queue if it.bucket == bucket][: self.max_batch]
-                for it in group:
-                    self._queue.remove(it)
+                if bucket > self.batch_max_bucket:
+                    # saturated regime: plain FIFO at B=1, no window
+                    group = [self._queue.pop(0)]
+                else:
+                    deadline = time.time() + self.batch_window_ms / 1e3
+                    while True:
+                        group = [it for it in self._queue if it.bucket == bucket]
+                        group = group[: self.max_batch]
+                        if len(group) >= self.max_batch:
+                            break
+                        # wait out the window ONLY while other requests are
+                        # still preprocessing (they will enqueue within
+                        # ~window) — a lone request runs immediately at B=1
+                        if self._preprocessing <= 0 and len(group) == len(self._queue):
+                            break
+                        remaining = deadline - time.time()
+                        if remaining <= 0:
+                            break
+                        self._cond.wait(timeout=min(remaining, 0.002))
+                    group = [
+                        it for it in self._queue if it.bucket == bucket
+                    ][: self.max_batch]
+                    for it in group:
+                        self._queue.remove(it)
             try:
                 self._run_group(group)
             except Exception as e:  # surface to every waiting caller
@@ -282,7 +298,10 @@ class SRServer:
 
         sizes = list(batch_sizes) if batch_sizes is not None else list(self.row_sizes)
         for b in (self.buckets if buckets is None else sorted(buckets)):
-            for rows in sizes:
+            # multi-row programs are only ever dispatched for buckets the
+            # adaptive policy actually batches
+            b_sizes = sizes if b <= self.batch_max_bucket else [r for r in sizes if r == 1]
+            for rows in b_sizes:
                 full = {
                     "eta": jnp.zeros((rows, b, 1)), "cosphi": jnp.ones((rows, b, 1)),
                     "sinphi": jnp.zeros((rows, b, 1)),
