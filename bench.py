@@ -541,11 +541,18 @@ def _train_bench(jax, jnp, np, config_mv, B=8, N=2048, n_rep=8,
         for _ in range(2):  # compile + first-exec stall
             p, o, stats = trainer._train_step(p, o, batch, key, lr)
             sync(stats)
-        t0 = time.time()
-        for i in range(n_rep):
-            p, o, stats = trainer._train_step(p, o, batch, jax.random.fold_in(key, i), lr)
-        sync(stats)
-        dt = (time.time() - t0) / n_rep
+        # median of 3 timed blocks: a single transient tunnel/host stall
+        # (observed ~1-2 s in per-batch reps) would sink a one-block number
+        blocks = []
+        for blk in range(3):
+            t0 = time.time()
+            for i in range(n_rep):
+                p, o, stats = trainer._train_step(
+                    p, o, batch, jax.random.fold_in(key, blk * n_rep + i), lr
+                )
+            sync(stats)
+            blocks.append((time.time() - t0) / n_rep)
+        dt = sorted(blocks)[1]
         tf = train_step_flops(trainer.state.params, config_mv, B, N, remat=remat)
         return {
             "steps_per_sec": round(1.0 / dt, 2),
@@ -609,11 +616,16 @@ def _pf_train_bench(jax, jnp, np, repo, B=25, N=2048, n_rep=8):
         for _ in range(2):  # compile + first-exec stall
             p, o, logs = trainer._train_step(p, o, batch, key, lr)
             float(logs["loss"])
-        t0 = time.time()
-        for i in range(n_rep):
-            p, o, logs = trainer._train_step(p, o, batch, jax.random.fold_in(key, i), lr)
-        float(logs["loss"])
-        dt = (time.time() - t0) / n_rep
+        blocks = []  # median-of-3 blocks, same stall shielding as _train_bench
+        for blk in range(3):
+            t0 = time.time()
+            for i in range(n_rep):
+                p, o, logs = trainer._train_step(
+                    p, o, batch, jax.random.fold_in(key, blk * n_rep + i), lr
+                )
+            float(logs["loss"])
+            blocks.append((time.time() - t0) / n_rep)
+        dt = sorted(blocks)[1]
         return {
             "steps_per_sec": round(1.0 / dt, 2),
             "events_per_sec": round(B / dt, 1),
