@@ -248,3 +248,43 @@ def test_concurrent_requests_batch_together(server):
         assert len(r["e_pred_raw"]) == r["n_cells"] <= n_expected
         np.testing.assert_allclose(r["eta"], solo_i["eta"])
     assert max(r["batched_with"] for r in results) > 1
+
+
+def test_adaptive_policy_fifo_above_threshold(server):
+    """Buckets above batch_max_bucket must run FIFO at B=1 even under
+    concurrency (the adaptive policy: at production ensemble width a lone
+    large request already saturates the chip, so grouping only adds window
+    waits — BASELINE.md round-5 serving). Force the fixture's one bucket
+    (256) above the threshold and check no request reports batched_with>1;
+    outputs must still match solo predictions."""
+    srv, truth = server
+    evs = [_event_from_file(truth, i % 2) for i in range(4)]
+    solos = [srv.predict_event(ev) for ev in evs]
+
+    old = srv.batch_max_bucket
+    srv.batch_max_bucket = 0  # every bucket now "large"
+    try:
+        results = [None] * 4
+        errors = []
+
+        def client(i):
+            try:
+                results[i] = srv.predict_event(evs[i])
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        import threading as th
+        threads = [th.Thread(target=client, args=(i,)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+    finally:
+        srv.batch_max_bucket = old
+
+    assert not errors
+    assert all(r is not None for r in results)
+    for r, s in zip(results, solos):
+        assert r["batched_with"] == 1
+        assert r["n_cells"] == s["n_cells"]
+        np.testing.assert_allclose(r["eta"], s["eta"])
