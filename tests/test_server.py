@@ -273,8 +273,7 @@ def test_adaptive_policy_fifo_above_threshold(server):
             except Exception as e:  # pragma: no cover
                 errors.append(e)
 
-        import threading as th
-        threads = [th.Thread(target=client, args=(i,)) for i in range(4)]
+        threads = [threading.Thread(target=client, args=(i,)) for i in range(4)]
         for t in threads:
             t.start()
         for t in threads:
